@@ -1,0 +1,60 @@
+"""Compute-engine dispatch: host exact path vs TPU device path.
+
+Every hot vector primitive in the protocol funnels through this module so
+the device backend (ark_bulletproofs_tpu.ops, JAX/Pallas) can take over for
+large sizes while small/test workloads stay on the exact host path. The
+crossover is size-based: device MSM pays a fixed launch + limb-conversion
+cost, so tiny MSMs are faster on the host.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class EngineConfig:
+    # "auto": device for large sizes when JAX is usable; "host": never use
+    # the device; "jax": force the device path (used by backend tests).
+    backend: str = os.environ.get("ABTPU_BACKEND", "auto")
+    # Minimum MSM size for the device path.
+    msm_device_threshold: int = int(os.environ.get("ABTPU_MSM_THRESHOLD", "4096"))
+
+
+config = EngineConfig()
+
+_jax_ok: bool | None = None
+
+
+def _jax_available() -> bool:
+    global _jax_ok
+    if _jax_ok is None:
+        try:
+            import jax  # noqa: F401
+
+            _jax_ok = True
+        except Exception:  # pragma: no cover
+            _jax_ok = False
+    return _jax_ok
+
+
+def use_device(n: int, curve) -> bool:
+    if config.backend == "host":
+        return False
+    # The device backend implements short-Weierstrass kernels; TE curves
+    # (curve25519) currently use the host path.
+    if not hasattr(curve, "b"):
+        return False
+    if config.backend == "jax":
+        return _jax_available()
+    return n >= config.msm_device_threshold and _jax_available()
+
+
+def msm(curve, bases: list, scalars: list[int]):
+    """Multi-scalar multiplication: sum_i scalars[i] * bases[i] (affine out)."""
+    if use_device(len(bases), curve):
+        from .ops import msm as device_msm
+
+        return device_msm.msm(curve, bases, scalars)
+    return curve.msm(bases, scalars)
