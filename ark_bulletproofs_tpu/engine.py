@@ -40,11 +40,9 @@ def _jax_available() -> bool:
 
 
 def use_device(n: int, curve) -> bool:
+    """Device kernels cover both curve models (SW Jacobian and TE
+    extended coordinates)."""
     if config.backend == "host":
-        return False
-    # The device backend implements short-Weierstrass kernels; TE curves
-    # (curve25519) currently use the host path.
-    if not hasattr(curve, "b"):
         return False
     if config.backend == "jax":
         return _jax_available()

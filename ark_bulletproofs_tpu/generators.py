@@ -46,7 +46,17 @@ class PedersenGens:
 
 
 class GeneratorsChain:
-    """Deterministic unbounded generator stream for one label."""
+    """Deterministic unbounded generator stream for one label.
+
+    Large requests batch the curve-point sampling onto the device
+    (ops/gens.py): the ChaCha attempt stream is generated in bulk (C++),
+    the sqrt/QR math runs as one batched TPU program, and the chain
+    rewinds to the exact word consumed by the n-th accepted attempt so
+    interleaved take/fast_forward sequences stay bit-identical to the
+    sequential reference semantics (src/generators.rs:78-121).
+    """
+
+    _DEVICE_MIN = 128  # below this, sequential host sampling is faster
 
     def __init__(self, curve, label: bytes):
         self.curve = curve
@@ -54,12 +64,84 @@ class GeneratorsChain:
         self._rng = ChaChaRng(seed)
 
     def fast_forward(self, n: int) -> "GeneratorsChain":
+        if self._device_ok(n):
+            self._batched(n, keep=False)
+            return self
         for _ in range(n):
             self.curve.rand(self._rng)
         return self
 
     def take(self, n: int) -> list:
+        if self._device_ok(n):
+            return self._batched(n, keep=True)
         return [self.curve.rand(self._rng) for _ in range(n)]
+
+    # --- device batching -------------------------------------------------
+
+    def _device_ok(self, n: int) -> bool:
+        from . import engine
+
+        c = self.curve
+        return (
+            n >= self._DEVICE_MIN
+            and hasattr(c, "b")  # short-Weierstrass
+            and c.cofactor == 1
+            and c.fq.num_bits > 240  # framing assumes 4x u64 sampling
+            and engine.use_device(1 << 30, c)  # device available at all
+        )
+
+    def _batched(self, n: int, keep: bool):
+        import numpy as np
+
+        from .ops.gens import candidate_points
+
+        c = self.curve
+        p = c.fq.p
+        shave = 64 * 4 - c.fq.num_bits
+        mask64 = ((1 << 64) - 1) >> shave
+        out: list = []
+        rng = self._rng
+        while len(out) < n:
+            todo = n - len(out)
+            m = max(2 * todo + 64, 256)
+            m = 1 << (m - 1).bit_length()  # pad to pow2: stable jit shapes
+            snap = rng.state_snapshot()
+            words = rng.next_u32_array(9 * m).reshape(m, 9)
+            xs_words = words[:, :8].copy()
+            xs_words[:, 6] &= mask64 & 0xFFFFFFFF
+            xs_words[:, 7] &= mask64 >> 32
+            limbs = xs_words.view("<u2").reshape(m, 16)
+            from .ops.limbs import limbs_to_ints
+
+            x_ints = limbs_to_ints(limbs.astype(np.uint32))
+            if any(x >= p for x in x_ints):
+                # Fp::rand rejection (probability ~2^-128): redraws break
+                # the fixed 9-word framing — replay this call sequentially.
+                rng.state_restore(snap)
+                if keep:
+                    return out + [
+                        c.rand(rng) for _ in range(n - len(out))
+                    ]
+                for _ in range(n - len(out)):
+                    c.rand(rng)
+                return None
+            greatest = (words[:, 8] >> 31) == 1
+            pts = candidate_points(c, x_ints, list(greatest))
+            # stop at the attempt that yields the n-th success; rewind the
+            # stream to just after it
+            got = 0
+            used_attempts = m
+            for j, P in enumerate(pts):
+                if P is not None:
+                    out.append(P)
+                    got += 1
+                    if len(out) == n:
+                        used_attempts = j + 1
+                        break
+            if len(out) == n:
+                rng.state_restore(snap)
+                rng.skip_words(9 * used_attempts)
+        return out if keep else None
 
 
 def _party_label(prefix: bytes, party: int) -> bytes:

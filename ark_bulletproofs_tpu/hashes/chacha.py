@@ -43,6 +43,11 @@ def chacha20_block_words(key_words: tuple[int, ...], counter: int) -> list[int]:
     64-bit counter split over state words 12 (low) and 13 (high); stream id 0
     in words 14-15.
     """
+    from ..native import chacha20_blocks_native
+
+    fast = chacha20_blocks_native(key_words, counter, 1)
+    if fast is not None:
+        return fast
     init = list(_SIGMA) + list(key_words) + [
         counter & MASK32,
         (counter >> 32) & MASK32,
@@ -95,6 +100,64 @@ class ChaChaRng:
     def next_bool(self) -> bool:
         """rand 0.8 `Standard` bool: most-significant bit of next_u32."""
         return (self.next_u32() >> 31) == 1
+
+    # --- bulk access (device generator farm; state-exact) ---------------
+
+    def state_snapshot(self):
+        return (self._counter, self._idx, list(self._buf))
+
+    def state_restore(self, snap) -> None:
+        self._counter, self._idx, buf = snap
+        self._buf = list(buf)
+
+    def _abs_pos(self) -> int:
+        """Absolute number of keystream words consumed so far."""
+        blocks_done = self._counter - (1 if self._buf else 0)
+        return blocks_done * 16 + self._idx
+
+    def skip_words(self, k: int) -> None:
+        """Advance the word stream by k words in O(1) (+1 block gen)."""
+        pos = self._abs_pos() + k
+        self._counter = pos // 16
+        idx = pos % 16
+        if idx:
+            self._refill()  # generates block self._counter, increments it
+            self._idx = idx
+        else:
+            self._buf = []
+            self._idx = 0
+
+    def next_u32_array(self, k: int):
+        """k keystream words as a numpy uint32 array (state advances by k)."""
+        import numpy as np
+
+        from ..native import chacha20_blocks_native
+
+        lead = self._buf[self._idx:] if self._buf else []
+        lead = lead[:k]
+        need = k - len(lead)
+        nblk = (need + 15) // 16
+        if nblk:
+            words = chacha20_blocks_native(self._key, self._counter, nblk)
+            if words is None:
+                words = []
+                for i in range(nblk):
+                    words.extend(
+                        chacha20_block_words(self._key, self._counter + i)
+                    )
+            self._counter += nblk
+            used = need % 16
+            if used:
+                self._buf = words[-16:]
+                self._idx = used
+            else:
+                self._buf = []
+                self._idx = 0
+            stream = lead + words[:need]
+        else:
+            stream = lead
+            self._idx += len(lead)
+        return np.array(stream, dtype=np.uint32)
 
     def fill_bytes(self, n: int) -> bytes:
         """n keystream bytes, little-endian word order (word-aligned reads only

@@ -44,6 +44,15 @@ def _rotl(v: int, n: int) -> int:
 
 def keccak_f1600(lanes: list[int]) -> list[int]:
     """Apply the Keccak-f[1600] permutation to 25 64-bit lanes (x + 5*y order)."""
+    from ..native import keccak_f1600_native
+
+    fast = keccak_f1600_native(lanes)
+    if fast is not None:
+        return fast
+    return _keccak_f1600_py(lanes)
+
+
+def _keccak_f1600_py(lanes: list[int]) -> list[int]:
     a = list(lanes)
     for rc in _RC:
         # theta
@@ -103,9 +112,23 @@ def _sponge(data: bytes, rate: int, out_len: int, domain: int) -> bytes:
 
 def sha3_512(data: bytes) -> bytes:
     """SHA3-512 digest (64 bytes). rate = 200 - 2*64 = 72, domain 0x06."""
+    from ..native import sha3_native
+
+    fast = sha3_native(data, 72, 0x06, 64)
+    if fast is not None:
+        return fast
     return _sponge(data, 72, 64, 0x06)
 
 
 def sha3_256(data: bytes) -> bytes:
     """SHA3-256 digest (32 bytes). rate = 200 - 2*32 = 136, domain 0x06."""
+    fast = None
+    try:
+        from ..native import sha3_native
+
+        fast = sha3_native(data, 136, 0x06, 32)
+    except Exception:
+        pass
+    if fast is not None:
+        return fast
     return _sponge(data, 136, 32, 0x06)

@@ -102,6 +102,12 @@ class InnerProductProof:
 
         protocol.innerproduct_domain_sep(transcript, n)
 
+        if n >= 64 and engine.use_device(2 * n + 1, curve):
+            return cls._create_device(
+                transcript, curve, Q, G_factors, H_factors,
+                G_vec, H_vec, a_vec, b_vec,
+            )
+
         a = [x % p for x in a_vec]
         b = [x % p for x in b_vec]
         # Per-original-index fold coefficients; factors pre-applied
@@ -162,13 +168,43 @@ class InnerProductProof:
 
         return cls(L_vec, R_vec, a[0], b[0])
 
+    @classmethod
+    def _create_device(
+        cls, transcript, curve, Q, G_factors, H_factors,
+        G_vec, H_vec, a_vec, b_vec,
+    ) -> "InnerProductProof":
+        """Device-resident creation path (ops/ipa.py): O(n) state stays on
+        the TPU between rounds; the host only runs the Fiat-Shamir chain.
+        Transcript operations are identical to the host path, so proofs
+        and challenges match bit-for-bit."""
+        from .ops.ipa import IpaDeviceProver
+
+        f = curve.fr
+        st = IpaDeviceProver(
+            curve, Q, G_vec, H_vec, G_factors, H_factors, a_vec, b_vec
+        )
+        L_vec, R_vec = [], []
+        cur = len(G_vec)
+        while cur != 1:
+            L, R = st.round_commit(cur)
+            L_vec.append(L)
+            R_vec.append(R)
+            protocol.append_point(transcript, curve, b"L", L)
+            protocol.append_point(transcript, curve, b"R", R)
+            u = protocol.challenge_scalar(transcript, curve, b"u")
+            st.fold(cur, u, f.inv(u))
+            cur //= 2
+        a0, b0 = st.final_ab()
+        return cls(L_vec, R_vec, a0, b0)
+
     # --- verification ------------------------------------------------------
 
-    def verification_scalars(
+    def verification_challenges(
         self, n: int, transcript: Transcript, curve
-    ) -> tuple[list[int], list[int], list[int]]:
-        """(u_sq, u_inv_sq, s) for the caller's combined MSM
-        (reference src/inner_product_proof.rs:244-313)."""
+    ) -> tuple[list[int], list[int], int]:
+        """Replay the transcript; (u_sq, u_inv_sq, allinv) — the O(lg n)
+        part of verification_scalars, without the O(n) s-vector (which
+        the device path rebuilds on-chip, ops/verify.py)."""
         f = curve.fr
         p = f.p
         lg_n = len(self.L_vec)
@@ -193,7 +229,18 @@ class InnerProductProof:
 
         u_sq = [c * c % p for c in challenges]
         u_inv_sq = [c * c % p for c in challenges_inv]
+        return u_sq, u_inv_sq, allinv
 
+    def verification_scalars(
+        self, n: int, transcript: Transcript, curve
+    ) -> tuple[list[int], list[int], list[int]]:
+        """(u_sq, u_inv_sq, s) for the caller's combined MSM
+        (reference src/inner_product_proof.rs:244-313)."""
+        p = curve.fr.p
+        lg_n = len(self.L_vec)
+        u_sq, u_inv_sq, allinv = self.verification_challenges(
+            n, transcript, curve
+        )
         # s-vector via the inductive recurrence s[i] = s[i - 2^lg(i)] * u_{lg(i)}^2.
         s = [0] * n
         s[0] = allinv

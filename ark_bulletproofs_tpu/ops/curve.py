@@ -8,11 +8,13 @@ convention in ark_bulletproofs_tpu/curves/models.py).
 
 Everything is branch-free and batched: the complete `add` computes the
 generic sum, the doubling, and the exceptional cases, then lane-selects.
-That costs ~1.6x a plain add but keeps a single static XLA program — the
-price of data-dependent control flow on TPU would be far higher.
+Independent field multiplies inside a formula are STACKED into single
+`mont_mul` calls — MSM scans instantiate this group law dozens of times,
+so per-instance graph size directly bounds XLA compile time, and stacking
+also widens the vector work handed to the VPU.
 
-Formulas: add-2007-bl / dbl-2007-bl (same as the host model, EFD), valid
-for any curve a; `a` enters only doubling via M = 3*XX + a*ZZ^2.
+Formulas: add-2007-bl / madd-2007-bl / dbl-2007-bl (EFD; same as the host
+model), valid for any curve a; `a` enters only doubling via M += a*ZZ^2.
 """
 
 from __future__ import annotations
@@ -37,43 +39,101 @@ class CurveSpec:
     fq: FieldSpec
     a: int
     a_mont_limbs: tuple  # a * R mod p
+    b_mont_limbs: tuple  # b * R mod p
     is_a_zero: bool
 
     @classmethod
-    def create(cls, name: str, fq: FieldSpec, a: int) -> "CurveSpec":
-        a_mont = a % fq.p * ((1 << 256) % fq.p) % fq.p
+    def create(cls, name: str, fq: FieldSpec, a: int, b: int) -> "CurveSpec":
+        R = (1 << 256) % fq.p
         return cls(
             name=name,
             fq=fq,
             a=a,
-            a_mont_limbs=tuple(int(v) for v in int_to_limbs(a_mont)),
+            a_mont_limbs=tuple(int(v) for v in int_to_limbs(a % fq.p * R % fq.p)),
+            b_mont_limbs=tuple(int(v) for v in int_to_limbs(b % fq.p * R % fq.p)),
             is_a_zero=(a % fq.p == 0),
         )
 
+    @property
+    def a_mont_arr(self) -> np.ndarray:
+        return np.array(self.a_mont_limbs, dtype=np.uint32)
 
-_SPECS: dict[str, CurveSpec] = {}
+    @property
+    def b_mont_arr(self) -> np.ndarray:
+        return np.array(self.b_mont_limbs, dtype=np.uint32)
 
 
-def spec_for(curve) -> CurveSpec:
-    """CurveSpec for an ark_bulletproofs_tpu.curves.SWCurve."""
+@dataclass(frozen=True)
+class TECurveSpec:
+    """Twisted-Edwards curve constants (a*x^2 + y^2 = 1 + d*x^2*y^2)."""
+
+    name: str
+    fq: FieldSpec
+    a_mont_limbs: tuple
+    d_mont_limbs: tuple
+
+    @classmethod
+    def create(cls, name: str, fq: FieldSpec, a: int, d: int) -> "TECurveSpec":
+        R = (1 << 256) % fq.p
+        return cls(
+            name=name,
+            fq=fq,
+            a_mont_limbs=tuple(int(v) for v in int_to_limbs(a % fq.p * R % fq.p)),
+            d_mont_limbs=tuple(int(v) for v in int_to_limbs(d % fq.p * R % fq.p)),
+        )
+
+    @property
+    def a_mont_arr(self) -> np.ndarray:
+        return np.array(self.a_mont_limbs, dtype=np.uint32)
+
+    @property
+    def d_mont_arr(self) -> np.ndarray:
+        return np.array(self.d_mont_limbs, dtype=np.uint32)
+
+
+_SPECS: dict[str, object] = {}
+
+
+def spec_for(curve):
+    """CurveSpec / TECurveSpec for an ark_bulletproofs_tpu curve model."""
     s = _SPECS.get(curve.name)
     if s is None:
-        s = CurveSpec.create(curve.name, df.spec_for(curve.fq), curve.a)
+        if hasattr(curve, "b"):
+            s = CurveSpec.create(
+                curve.name, df.spec_for(curve.fq), curve.a, curve.b
+            )
+        else:
+            s = TECurveSpec.create(
+                curve.name, df.spec_for(curve.fq), curve.a, curve.d
+            )
         _SPECS[curve.name] = s
     return s
 
 
 # --- point containers ---------------------------------------------------
+#
+# SW points: (X, Y, Z) Jacobian, Z == 0 encodes identity.
+# TE points: (X, Y, T, Z) extended, identity is the ordinary point
+#            (0, 1, 0, 1) — no exceptional representation needed.
 
-Point = tuple  # (X, Y, Z) limb arrays
+Point = tuple
 
 
-def point_zero(shape=()):
+def is_te(spec) -> bool:
+    return isinstance(spec, TECurveSpec)
+
+
+def point_zero(spec, shape=()):
     z = df.zero(shape)
+    if is_te(spec):
+        one = df.mont_one(spec.fq, shape)
+        return (z, one, z, one)
     return (z, z, z)
 
 
-def is_zero(P: Point):
+def is_zero(spec, P: Point):
+    if is_te(spec):
+        return df.is_zero(P[0]) & df.eq(P[1], P[3])
     return df.is_zero(P[2])
 
 
@@ -81,7 +141,11 @@ def select(mask, P: Point, Q: Point):
     return tuple(df.select(mask, p, q) for p, q in zip(P, Q))
 
 
-def neg(spec: CurveSpec, P: Point):
+def neg(spec, P: Point):
+    if is_te(spec):
+        X, Y, T, Z = P
+        f = spec.fq
+        return (df.neg(f, X), Y, df.neg(f, T), Z)
     X, Y, Z = P
     return (X, df.neg(spec.fq, Y), Z)
 
@@ -90,36 +154,93 @@ def broadcast_point(P: Point, shape):
     return tuple(jnp.broadcast_to(c, shape + (N_LIMBS,)) for c in P)
 
 
-# --- group law ----------------------------------------------------------
+def _mm(f: FieldSpec, xs, ys):
+    """Batched Montgomery muls: one mont_mul instantiation for k products."""
+    shape = jnp.broadcast_shapes(*(x.shape for x in xs + ys))
+    a = jnp.stack([jnp.broadcast_to(x, shape) for x in xs], 0)
+    b = jnp.stack([jnp.broadcast_to(y, shape) for y in ys], 0)
+    r = df.mont_mul(f, a, b)
+    return [r[i] for i in range(len(xs))]
 
 
-def double(spec: CurveSpec, P: Point) -> Point:
+# --- twisted-Edwards group law (extended coords, HWCD unified) ----------
+
+
+def _te_add_core(spec: TECurveSpec, P: Point, X2, Y2, T2, Z2_or_none):
+    """Unified extended addition; complete for a < 0 non-square d curves
+    (curve25519's parameters). Handles identity and doubling uniformly.
+    Mirrors the host model TECurve.proj_add
+    (ark_bulletproofs_tpu/curves/models.py)."""
+    f = spec.fq
+    X1, Y1, T1, Z1 = P
+    A, B, C0, E0 = _mm(
+        f, [X1, Y1, T1, df.add(f, X1, Y1)],
+        [X2, Y2, T2, df.add(f, X2, Y2)],
+    )
+    (C,) = _mm(f, [jnp.asarray(spec.d_mont_arr)], [C0])
+    if Z2_or_none is None:
+        D = Z1
+    else:
+        (D,) = _mm(f, [Z1], [Z2_or_none])
+    E = df.sub(f, E0, df.add(f, A, B))
+    F = df.sub(f, D, C)
+    G = df.add(f, D, C)
+    (aA,) = _mm(f, [jnp.asarray(spec.a_mont_arr)], [A])
+    H = df.sub(f, B, aA)
+    X3, Y3, T3, Z3 = _mm(f, [E, G, E, F], [F, H, H, G])
+    return (X3, Y3, T3, Z3)
+
+
+def _te_double(spec: TECurveSpec, P: Point) -> Point:
+    return _te_add_core(spec, P, P[0], P[1], P[2], P[3])
+
+
+def _te_add(spec: TECurveSpec, P: Point, Q: Point) -> Point:
+    return _te_add_core(spec, P, Q[0], Q[1], Q[2], Q[3])
+
+
+def _te_add_mixed(spec: TECurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
+    """Q affine (Z2 = 1, T2 = x*y computed on the fly); q_inf rows add
+    the identity (0, 1) instead."""
+    f = spec.fq
+    zero = jnp.zeros_like(Qx)
+    one = df.mont_one(f, Qx.shape[:-1])
+    Qx = df.select(q_inf, zero, Qx)
+    Qy = df.select(q_inf, one, Qy)
+    (T2,) = _mm(f, [Qx], [Qy])
+    return _te_add_core(spec, P, Qx, Qy, T2, None)
+
+
+# --- short-Weierstrass group law (Jacobian) ------------------------------
+
+
+def _sw_double(spec: CurveSpec, P: Point) -> Point:
     """dbl-2007-bl; identity (Z=0) and 2-torsion (Y=0) both yield Z3=0."""
     f = spec.fq
     X1, Y1, Z1 = P
-    XX = df.mont_sqr(f, X1)
-    YY = df.mont_sqr(f, Y1)
-    YYYY = df.mont_sqr(f, YY)
-    ZZ = df.mont_sqr(f, Z1)
+    XX, YY, ZZ = _mm(f, [X1, Y1, Z1], [X1, Y1, Z1])
     xpyy = df.add(f, X1, YY)
-    S = df.sub(f, df.mont_sqr(f, xpyy), df.add(f, XX, YYYY))
+    ypz = df.add(f, Y1, Z1)
+    sq = [YY, xpyy, ypz]
+    if not spec.is_a_zero:
+        sq.append(ZZ)
+    out = _mm(f, sq, sq)
+    YYYY, xpyy2, ypz2 = out[:3]
+    S = df.sub(f, xpyy2, df.add(f, XX, YYYY))
     S = df.add(f, S, S)
     M = df.add(f, df.add(f, XX, XX), XX)
     if not spec.is_a_zero:
-        a_m = jnp.asarray(np.array(spec.a_mont_limbs, dtype=np.uint32))
-        M = df.add(f, M, df.mont_mul(f, a_m, df.mont_sqr(f, ZZ)))
-    X3 = df.sub(f, df.mont_sqr(f, M), df.add(f, S, S))
-    Y3 = df.sub(
-        f,
-        df.mont_mul(f, M, df.sub(f, S, X3)),
-        df.double_k(f, YYYY, 3),
-    )
-    ypz = df.add(f, Y1, Z1)
-    Z3 = df.sub(f, df.mont_sqr(f, ypz), df.add(f, YY, ZZ))
+        (aZZ2,) = _mm(f, [jnp.asarray(spec.a_mont_arr)], [out[3]])
+        M = df.add(f, M, aZZ2)
+    (M2,) = _mm(f, [M], [M])
+    X3 = df.sub(f, M2, df.add(f, S, S))
+    (MSX,) = _mm(f, [M], [df.sub(f, S, X3)])
+    Y3 = df.sub(f, MSX, df.double_k(f, YYYY, 3))
+    Z3 = df.sub(f, ypz2, df.add(f, YY, ZZ))
     return (X3, Y3, Z3)
 
 
-def add(spec: CurveSpec, P: Point, Q: Point) -> Point:
+def _sw_add(spec: CurveSpec, P: Point, Q: Point) -> Point:
     """Complete Jacobian addition (handles identity, equal, inverse)."""
     f = spec.fq
     X1, Y1, Z1 = P
@@ -127,86 +248,167 @@ def add(spec: CurveSpec, P: Point, Q: Point) -> Point:
     p_inf = df.is_zero(Z1)
     q_inf = df.is_zero(Z2)
 
-    Z1Z1 = df.mont_sqr(f, Z1)
-    Z2Z2 = df.mont_sqr(f, Z2)
-    U1 = df.mont_mul(f, X1, Z2Z2)
-    U2 = df.mont_mul(f, X2, Z1Z1)
-    S1 = df.mont_mul(f, df.mont_mul(f, Y1, Z2), Z2Z2)
-    S2 = df.mont_mul(f, df.mont_mul(f, Y2, Z1), Z1Z1)
+    Z1Z1, Z2Z2 = _mm(f, [Z1, Z2], [Z1, Z2])
+    U1, U2, A, B = _mm(f, [X1, X2, Y1, Y2], [Z2Z2, Z1Z1, Z2, Z1])
+    S1, S2 = _mm(f, [A, B], [Z2Z2, Z1Z1])
 
     H = df.sub(f, U2, U1)
-    rr = df.sub(f, S2, S1)
+    rr0 = df.sub(f, S2, S1)
     x_eq = df.is_zero(H)
-    y_eq = df.is_zero(rr)
-    rr = df.add(f, rr, rr)  # r = 2*(S2-S1)
-
-    I = df.mont_sqr(f, df.add(f, H, H))  # (2H)^2
-    J = df.mont_mul(f, H, I)
-    V = df.mont_mul(f, U1, I)
-    X3 = df.sub(f, df.mont_sqr(f, rr), df.add(f, J, df.add(f, V, V)))
-    S1J = df.mont_mul(f, S1, J)
-    Y3 = df.sub(
-        f,
-        df.mont_mul(f, rr, df.sub(f, V, X3)),
-        df.add(f, S1J, S1J),
-    )
+    y_eq = df.is_zero(rr0)
+    rr = df.add(f, rr0, rr0)
+    twoH = df.add(f, H, H)
     zpz = df.add(f, Z1, Z2)
-    Z3 = df.mont_mul(
-        f, df.sub(f, df.mont_sqr(f, zpz), df.add(f, Z1Z1, Z2Z2)), H
-    )
+
+    I, rr2, zpz2 = _mm(f, [twoH, rr, zpz], [twoH, rr, zpz])
+    J, V = _mm(f, [H, U1], [I, I])
+    X3 = df.sub(f, rr2, df.add(f, J, df.add(f, V, V)))
+    w = df.sub(f, zpz2, df.add(f, Z1Z1, Z2Z2))
+    t1, S1J, Z3 = _mm(f, [rr, S1, w], [df.sub(f, V, X3), J, H])
+    Y3 = df.sub(f, t1, df.add(f, S1J, S1J))
     R = (X3, Y3, Z3)
 
-    dbl = double(spec, P)
+    dbl = _sw_double(spec, P)
     R = select(x_eq & y_eq, dbl, R)  # P == Q -> double
-    R = select(x_eq & ~y_eq & ~p_inf & ~q_inf, point_zero(x_eq.shape), R)
+    R = select(x_eq & ~y_eq & ~p_inf & ~q_inf, point_zero(spec, x_eq.shape), R)
     R = select(p_inf, Q, R)
     R = select(q_inf, P, R)
     return R
 
 
-def add_mixed(spec: CurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
+def _sw_add_mixed(spec: CurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
     """Complete mixed addition: Q given in affine coordinates (Z2 = 1).
 
-    madd-2007-bl: saves 5 of the 16 Montgomery muls of the general add —
-    this is the bucket-accumulation workhorse, where one operand is always
-    an input point in affine form.
+    madd-2007-bl: drops 5 of the general add's muls — this is the bucket
+    accumulation workhorse, where one operand is an affine input point.
     """
     f = spec.fq
     X1, Y1, Z1 = P
     p_inf = df.is_zero(Z1)
 
-    Z1Z1 = df.mont_sqr(f, Z1)
-    U2 = df.mont_mul(f, Qx, Z1Z1)
-    S2 = df.mont_mul(f, df.mont_mul(f, Qy, Z1), Z1Z1)
+    (Z1Z1,) = _mm(f, [Z1], [Z1])
+    U2, B = _mm(f, [Qx, Qy], [Z1Z1, Z1])
+    (S2,) = _mm(f, [B], [Z1Z1])
 
     H = df.sub(f, U2, X1)
-    rr = df.sub(f, S2, Y1)
+    rr0 = df.sub(f, S2, Y1)
     x_eq = df.is_zero(H)
-    y_eq = df.is_zero(rr)
-    rr = df.add(f, rr, rr)
-
-    I = df.mont_sqr(f, df.add(f, H, H))
-    J = df.mont_mul(f, H, I)
-    V = df.mont_mul(f, X1, I)
-    X3 = df.sub(f, df.mont_sqr(f, rr), df.add(f, J, df.add(f, V, V)))
-    S1J = df.mont_mul(f, Y1, J)
-    Y3 = df.sub(
-        f,
-        df.mont_mul(f, rr, df.sub(f, V, X3)),
-        df.add(f, S1J, S1J),
-    )
+    y_eq = df.is_zero(rr0)
+    rr = df.add(f, rr0, rr0)
+    twoH = df.add(f, H, H)
     zph = df.add(f, Z1, H)
-    Z3 = df.sub(f, df.mont_sqr(f, zph), df.add(f, Z1Z1, df.mont_sqr(f, H)))
+
+    I, rr2, zph2, HH = _mm(f, [twoH, rr, zph, H], [twoH, rr, zph, H])
+    J, V = _mm(f, [H, X1], [I, I])
+    X3 = df.sub(f, rr2, df.add(f, J, df.add(f, V, V)))
+    t1, S1J = _mm(f, [rr, Y1], [df.sub(f, V, X3), J])
+    Y3 = df.sub(f, t1, df.add(f, S1J, S1J))
+    Z3 = df.sub(f, zph2, df.add(f, Z1Z1, HH))
     R = (X3, Y3, Z3)
 
-    dbl = double(spec, P)
+    dbl = _sw_double(spec, P)
     R = select(x_eq & y_eq, dbl, R)
-    R = select(x_eq & ~y_eq & ~p_inf & ~q_inf, point_zero(x_eq.shape), R)
+    R = select(x_eq & ~y_eq & ~p_inf & ~q_inf, point_zero(spec, x_eq.shape), R)
     one = df.mont_one(f, q_inf.shape)
     Q_full = (Qx, Qy, jnp.where(q_inf[..., None], jnp.zeros_like(one), one))
     R = select(p_inf, Q_full, R)
     R = select(q_inf, P, R)
     return R
+
+
+# --- dispatchers ---------------------------------------------------------
+#
+# Above _KERNEL_MIN_LANES (and for SW curves), ops route to the fused
+# Pallas kernels (ops/kernels.py): one kernel launch instead of ~100
+# XLA kernels per group op — the XLA path is dispatch/bandwidth-bound
+# two orders of magnitude off VPU peak. Tiny widths stay on the XLA
+# path where launch overhead would dominate.
+
+_KERNEL_MIN_LANES = 1024
+
+
+def _use_kernels(spec, shape) -> bool:
+    import os
+
+    if is_te(spec):
+        return False
+    if os.environ.get("ABTPU_NO_PALLAS"):
+        return False
+    if jax.devices()[0].platform == "cpu" and not os.environ.get(
+        "ABTPU_FORCE_PALLAS"
+    ):
+        return False  # interpret-mode kernels are slower than the XLA path
+    lanes = 1
+    for d in shape:
+        lanes *= d
+    return lanes >= _KERNEL_MIN_LANES
+
+
+def _flat_pad(arrs, shape):
+    """Flatten leading dims of (..., 16) arrays and pad to BLOCK multiple."""
+    from .kernels import BLOCK
+
+    lanes = 1
+    for d in shape:
+        lanes *= d
+    m = ((lanes + BLOCK - 1) // BLOCK) * BLOCK
+    out = []
+    for a in arrs:
+        flat = jnp.broadcast_to(a, shape + (N_LIMBS,)).reshape(lanes, N_LIMBS)
+        if m != lanes:
+            flat = jnp.pad(flat, ((0, m - lanes), (0, 0)))
+        out.append(flat)
+    return out, lanes, m
+
+
+def _unflat(arrs, shape, lanes):
+    return tuple(a[:lanes].reshape(shape + (N_LIMBS,)) for a in arrs)
+
+
+def double(spec, P: Point) -> Point:
+    if is_te(spec):
+        return _te_double(spec, P)
+    shape = jnp.broadcast_shapes(*(c.shape[:-1] for c in P))
+    if _use_kernels(spec, shape):
+        from . import kernels as kk
+
+        (x, y, z), lanes, _ = _flat_pad(list(P), shape)
+        return _unflat(kk.sw_double_tiled(spec, x, y, z), shape, lanes)
+    return _sw_double(spec, P)
+
+
+def add(spec, P: Point, Q: Point) -> Point:
+    if is_te(spec):
+        return _te_add(spec, P, Q)
+    shape = jnp.broadcast_shapes(
+        *(c.shape[:-1] for c in P), *(c.shape[:-1] for c in Q)
+    )
+    if _use_kernels(spec, shape):
+        from . import kernels as kk
+
+        flat, lanes, _ = _flat_pad(list(P) + list(Q), shape)
+        return _unflat(kk.sw_add_tiled(spec, *flat), shape, lanes)
+    return _sw_add(spec, P, Q)
+
+
+def add_mixed(spec, P: Point, Qx, Qy, q_inf) -> Point:
+    if is_te(spec):
+        return _te_add_mixed(spec, P, Qx, Qy, q_inf)
+    shape = jnp.broadcast_shapes(
+        *(c.shape[:-1] for c in P), Qx.shape[:-1], Qy.shape[:-1], q_inf.shape
+    )
+    if _use_kernels(spec, shape):
+        from . import kernels as kk
+        from .kernels import BLOCK
+
+        flat, lanes, m = _flat_pad(list(P) + [Qx, Qy], shape)
+        qi = jnp.broadcast_to(q_inf, shape).reshape(lanes)
+        if m != lanes:
+            qi = jnp.pad(qi, (0, m - lanes), constant_values=True)
+        return _unflat(
+            kk.sw_madd_tiled(spec, *flat, qi), shape, lanes
+        )
+    return _sw_add_mixed(spec, P, Qx, Qy, q_inf)
 
 
 # --- conversions --------------------------------------------------------
@@ -215,16 +417,17 @@ def add_mixed(spec: CurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
 def affine_to_device(curve, points) -> tuple:
     """Host affine int points -> device (X, Y mont limbs, inf mask).
 
-    Cached per-identity on the curve's generator tables would live above;
-    this does the raw conversion.
-    """
+    The identity is marked in the `inf` mask for both models (for TE
+    curves the kernels substitute the ordinary point (0, 1))."""
     from .limbs import ints_to_limbs
 
     f = curve.fq
     R = f.R
+    te = not hasattr(curve, "b")
+    ident = curve.zero() if te else None
     xs, ys, inf = [], [], []
     for P in points:
-        if P is None:
+        if P is None or P == ident:
             xs.append(0)
             ys.append(0)
             inf.append(True)
@@ -239,17 +442,21 @@ def affine_to_device(curve, points) -> tuple:
     )
 
 
-def jacobian_to_host(curve, P) -> object:
-    """One device Jacobian point -> host affine int tuple (or None)."""
+def point_to_host(curve, P) -> object:
+    """One device point -> host affine int tuple (None = SW identity)."""
     from .limbs import limbs_to_int
 
     f = curve.fq
-    X, Y, Z = (np.asarray(c).reshape(-1)[:N_LIMBS] for c in P)
-    # undo Montgomery on host (exact, tiny)
     Rinv = f.R_inv
-    x = limbs_to_int(X) * Rinv % f.p
-    y = limbs_to_int(Y) * Rinv % f.p
-    z = limbs_to_int(np.asarray(P[2]).reshape(-1)[:N_LIMBS]) * Rinv % f.p
+
+    def coord(i):
+        return limbs_to_int(np.asarray(P[i]).reshape(-1)[:N_LIMBS]) * Rinv % f.p
+
+    if len(P) == 4:  # TE extended
+        x, y, z = coord(0), coord(1), coord(3)
+        zi = pow(z, -1, f.p)
+        return (x * zi % f.p, y * zi % f.p)
+    x, y, z = coord(0), coord(1), coord(2)
     if z == 0:
         return None
     zi = pow(z, -1, f.p)
@@ -257,11 +464,15 @@ def jacobian_to_host(curve, P) -> object:
     return (x * zi2 % f.p, y * zi2 % f.p * zi % f.p)
 
 
+# Backwards-compatible alias (pre-TE name).
+jacobian_to_host = point_to_host
+
+
 @partial(jax.jit, static_argnums=0)
-def batch_add(spec: CurveSpec, P, Q):
+def batch_add(spec, P, Q):
     return add(spec, P, Q)
 
 
 @partial(jax.jit, static_argnums=0)
-def batch_double(spec: CurveSpec, P):
+def batch_double(spec, P):
     return double(spec, P)

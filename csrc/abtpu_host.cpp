@@ -1,0 +1,142 @@
+// Native host byte layer: Keccak-f[1600], SHA3, ChaCha20 blocks.
+//
+// TPU-native replacement for the reference's Rust byte-layer crates
+// (merlin v3 STROBE over Keccak-f[1600], the sha3 crate, rand_chacha;
+// reference Cargo.toml:16-26). The Fiat-Shamir transcript is a strict
+// data-dependence chain that lives on the host between device MSM
+// phases, so these primitives gate proof latency; the Python versions
+// remain as a fallback and as an executable specification.
+//
+// Implemented from FIPS-202 and the ChaCha specification directly.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Keccak-f[1600]
+// ---------------------------------------------------------------------
+
+static const uint64_t kRC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+// rho rotation offsets, indexed x + 5*y.
+static const int kRot[25] = {
+    0, 1, 62, 28, 27, 36, 44, 6, 55, 20, 3, 10, 43,
+    25, 39, 41, 45, 15, 21, 8, 18, 2, 61, 56, 14,
+};
+
+static inline uint64_t rotl64(uint64_t v, int n) {
+  n &= 63;
+  return n == 0 ? v : (v << n) | (v >> (64 - n));
+}
+
+// In-place permutation of 25 little-endian lanes (x + 5*y order).
+void abtpu_keccak_f1600(uint64_t a[25]) {
+  uint64_t b[25], c[5], d[5];
+  for (int round = 0; round < 24; ++round) {
+    // theta
+    for (int x = 0; x < 5; ++x)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; ++x)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int i = 0; i < 25; ++i) a[i] ^= d[i % 5];
+    // rho + pi: b[y + 5*((2x+3y)%5)] = rot(a[x + 5y])
+    for (int x = 0; x < 5; ++x)
+      for (int y = 0; y < 5; ++y)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y], kRot[x + 5 * y]);
+    // chi
+    for (int y = 0; y < 5; ++y)
+      for (int x = 0; x < 5; ++x)
+        a[x + 5 * y] =
+            b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+    // iota
+    a[0] ^= kRC[round];
+  }
+}
+
+// ---------------------------------------------------------------------
+// ChaCha20 (djb variant: 64-bit block counter, 64-bit stream id = 0)
+// ---------------------------------------------------------------------
+
+static inline uint32_t rotl32(uint32_t v, int n) {
+  return (v << n) | (v >> (32 - n));
+}
+
+#define QR(a, b, c, d)                \
+  a += b; d ^= a; d = rotl32(d, 16);  \
+  c += d; b ^= c; b = rotl32(b, 12);  \
+  a += b; d ^= a; d = rotl32(d, 8);   \
+  c += d; b ^= c; b = rotl32(b, 7);
+
+// Write nblocks consecutive 16-word blocks starting at block counter
+// `counter0` into out (16 * nblocks u32 words, little-endian order).
+void abtpu_chacha20_blocks(const uint32_t key[8], uint64_t counter0,
+                           uint64_t nblocks, uint32_t* out) {
+  static const uint32_t sigma[4] = {0x61707865u, 0x3320646Eu, 0x79622D32u,
+                                    0x6B206574u};
+  for (uint64_t blk = 0; blk < nblocks; ++blk) {
+    uint64_t ctr = counter0 + blk;
+    uint32_t init[16];
+    init[0] = sigma[0]; init[1] = sigma[1]; init[2] = sigma[2]; init[3] = sigma[3];
+    for (int i = 0; i < 8; ++i) init[4 + i] = key[i];
+    init[12] = (uint32_t)(ctr & 0xFFFFFFFFu);
+    init[13] = (uint32_t)(ctr >> 32);
+    init[14] = 0;
+    init[15] = 0;
+    uint32_t x[16];
+    std::memcpy(x, init, sizeof(x));
+    for (int i = 0; i < 10; ++i) {
+      QR(x[0], x[4], x[8], x[12])
+      QR(x[1], x[5], x[9], x[13])
+      QR(x[2], x[6], x[10], x[14])
+      QR(x[3], x[7], x[11], x[15])
+      QR(x[0], x[5], x[10], x[15])
+      QR(x[1], x[6], x[11], x[12])
+      QR(x[2], x[7], x[8], x[13])
+      QR(x[3], x[4], x[9], x[14])
+    }
+    uint32_t* o = out + 16 * blk;
+    for (int i = 0; i < 16; ++i) o[i] = x[i] + init[i];
+  }
+}
+
+// ---------------------------------------------------------------------
+// SHA3 sponge (used for SHA3-512 / SHA3-256)
+// ---------------------------------------------------------------------
+
+void abtpu_sha3(const uint8_t* data, uint64_t len, uint64_t rate,
+                uint8_t domain, uint8_t* out, uint64_t out_len) {
+  uint64_t lanes[25];
+  std::memset(lanes, 0, sizeof(lanes));
+  uint8_t* state = reinterpret_cast<uint8_t*>(lanes);  // little-endian hosts
+  uint64_t off = 0;
+  while (off + rate <= len) {
+    for (uint64_t i = 0; i < rate; ++i) state[i] ^= data[off + i];
+    abtpu_keccak_f1600(lanes);
+    off += rate;
+  }
+  uint64_t rem = len - off;
+  for (uint64_t i = 0; i < rem; ++i) state[i] ^= data[off + i];
+  state[rem] ^= domain;
+  state[rate - 1] ^= 0x80;
+  abtpu_keccak_f1600(lanes);
+  uint64_t produced = 0;
+  while (produced < out_len) {
+    uint64_t take = out_len - produced < rate ? out_len - produced : rate;
+    std::memcpy(out + produced, state, take);
+    produced += take;
+    if (produced < out_len) abtpu_keccak_f1600(lanes);
+  }
+}
+
+}  // extern "C"

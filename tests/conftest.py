@@ -6,15 +6,24 @@ suite is hermetic; the real-chip numbers come from bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment carries JAX_PLATFORMS=axon (the tunneled TPU)
+# and sitecustomize PRE-IMPORTS jax, so environment variables alone are
+# too late. Tests must be hermetic on CPU (concurrent processes sharing
+# the single TPU tunnel hang), so override through jax.config, which is
+# still mutable until the first backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compilation cache: the limb-arithmetic graphs are large and
-# dominate test wall-clock on recompiles.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/abtpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
+# NOTE: do not enable JAX_COMPILATION_CACHE_DIR here — the persistent
+# cache deadlocks array reads under this JAX build (observed with the
+# axon PJRT plugin present). Compile cost is managed by sharing shapes
+# across test cases instead.

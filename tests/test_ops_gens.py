@@ -1,0 +1,37 @@
+"""Device-batched generator sampling vs the exact sequential host path."""
+
+import pytest
+
+from ark_bulletproofs_tpu import engine
+from ark_bulletproofs_tpu.curves import secq256k1 as C
+from ark_bulletproofs_tpu.generators import BulletproofGens, GeneratorsChain
+
+
+def test_chain_device_matches_host(monkeypatch):
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    dev = GeneratorsChain(C, b"G\x00\x00\x00\x00").take(140)
+    monkeypatch.setattr(engine.config, "backend", "host")
+    host = GeneratorsChain(C, b"G\x00\x00\x00\x00").take(140)
+    assert dev == host
+
+
+def test_chain_device_interleaved(monkeypatch):
+    """fast_forward + take must land on the same stream positions."""
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    ch = GeneratorsChain(C, b"H\x00\x00\x00\x00")
+    ch.fast_forward(130)
+    dev = ch.take(130)
+    monkeypatch.setattr(engine.config, "backend", "host")
+    ch2 = GeneratorsChain(C, b"H\x00\x00\x00\x00")
+    ch2.fast_forward(130)
+    host = ch2.take(130)
+    assert dev == host
+
+
+def test_bpgens_device_equals_host(monkeypatch):
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    dev = BulletproofGens(C, 130, 1)
+    monkeypatch.setattr(engine.config, "backend", "host")
+    host = BulletproofGens(C, 130, 1)
+    assert dev.G_vec == host.G_vec
+    assert dev.H_vec == host.H_vec
