@@ -102,7 +102,8 @@ class InnerProductProof:
 
         protocol.innerproduct_domain_sep(transcript, n)
 
-        if n >= 64 and engine.use_device(2 * n + 1, curve):
+        device_lr = not isinstance(a_vec, (list, tuple))
+        if device_lr or (n >= 64 and engine.use_device(2 * n + 1, curve)):
             return cls._create_device(
                 transcript, curve, Q, G_factors, H_factors,
                 G_vec, H_vec, a_vec, b_vec,

@@ -318,13 +318,13 @@ def _sw_add_mixed(spec: CurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
 
 # --- dispatchers ---------------------------------------------------------
 #
-# Above _KERNEL_MIN_LANES (and for SW curves), ops route to the fused
-# Pallas kernels (ops/kernels.py): one kernel launch instead of ~100
-# XLA kernels per group op — the XLA path is dispatch/bandwidth-bound
-# two orders of magnitude off VPU peak. Tiny widths stay on the XLA
-# path where launch overhead would dominate.
+# On TPU (and for SW curves), ops route to the fused Pallas kernels
+# (ops/kernels.py): one kernel launch instead of ~100 XLA kernels per
+# group op — the XLA path is dispatch/bandwidth-bound two orders of
+# magnitude off VPU peak. Even 1-wide ops win: one padded BLOCK kernel
+# launch (~30 us) beats the ~100-kernel XLA chain (~150+ us).
 
-_KERNEL_MIN_LANES = 1024
+_KERNEL_MIN_LANES = 1
 
 
 def _use_kernels(spec, shape) -> bool:
@@ -389,6 +389,23 @@ def add(spec, P: Point, Q: Point) -> Point:
         flat, lanes, _ = _flat_pad(list(P) + list(Q), shape)
         return _unflat(kk.sw_add_tiled(spec, *flat), shape, lanes)
     return _sw_add(spec, P, Q)
+
+
+def double_k_add(spec, P: Point, Q: Point, k: int) -> Point:
+    """(2^k * P) + Q — the Horner step, fused into one kernel on TPU."""
+    if not is_te(spec):
+        shape = jnp.broadcast_shapes(
+            *(c.shape[:-1] for c in P), *(c.shape[:-1] for c in Q)
+        )
+        if _use_kernels(spec, shape):
+            from . import kernels as kk
+
+            flat, lanes, _ = _flat_pad(list(P) + list(Q), shape)
+            return _unflat(
+                kk.sw_double_k_add_tiled(spec, *flat, k), shape, lanes
+            )
+    P = jax.lax.fori_loop(0, k, lambda i, a: double(spec, a), P)
+    return add(spec, P, Q)
 
 
 def add_mixed(spec, P: Point, Qx, Qy, q_inf) -> Point:

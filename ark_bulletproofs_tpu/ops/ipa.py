@@ -137,6 +137,8 @@ class IpaDeviceProver:
         p, R = curve.fr.p, curve.fr.R
 
         def mont(xs):
+            if not isinstance(xs, (list, tuple)):
+                return xs  # already a device Montgomery limb array
             return jax.device_put(ints_to_limbs([x % p * R % p for x in xs]))
 
         self.a = mont(a_vec)

@@ -381,6 +381,34 @@ def sw_add_tiled(cs: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
     return tuple(o.T for o in outs)
 
 
+@partial(jax.jit, static_argnums=(0, 7))
+def sw_double_k_add_tiled(cs: CurveSpec, X1, Y1, Z1, X2, Y2, Z2, k: int):
+    """(2^k * P) + Q fused into one kernel launch (Horner steps)."""
+    m = X1.shape[0]
+
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        P = [_read(x1), _read(y1), _read(z1)]
+        for _ in range(k):
+            P = list(_k_sw_double(cs, *P))
+        Q = (_read(x2), _read(y2), _read(z2))
+        X3, Y3, Z3 = _k_sw_add(cs, tuple(P), Q)
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(m // BLOCK,),
+        in_specs=_grid_specs(6),
+        out_specs=tuple(_grid_specs(3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NL, m), jnp.uint32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(X1.T, Y1.T, Z1.T, X2.T, Y2.T, Z2.T)
+    return tuple(o.T for o in outs)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def sw_double_tiled(cs: CurveSpec, X1, Y1, Z1):
     m = X1.shape[0]

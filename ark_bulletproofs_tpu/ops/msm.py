@@ -136,10 +136,10 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
     n_groups = W // G
     S = min(1 << c, n)
     # R rows of linear scan work (n mixed adds) over C columns whose
-    # carries are Hillis-Steele'd (C log C general adds) — R ~ 64 keeps
-    # the sequential step count low while the HS work stays a small
+    # carries are Hillis-Steele'd (C log C general adds) — small R keeps
+    # the sequential step count low while the HS work stays a modest
     # fraction of the scan work.
-    R = min(n, 64)
+    R = min(n, 32)
     C = n // R
     iota_n = jnp.arange(n, dtype=jnp.int32)
 
@@ -211,9 +211,8 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
 
         # Horner over delta bits: acc = 2*acc + bitsum[t], t = c-1..0
         def bit_body(acc, t):
-            acc = dc.double(spec, acc)
             b = tuple(a[:, t] for a in bitsums)
-            return dc.add(spec, acc, b), None
+            return dc.double_k_add(spec, acc, b, 1), None
 
         ts = jnp.arange(c - 1, -1, -1, dtype=jnp.int32)
         wsum, _unused = jax.lax.scan(bit_body, dc.point_zero(spec, (G,)), ts)
@@ -225,8 +224,7 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
 
     # Horner over windows, top window first: acc = 2^c * acc + W_w
     def horner_body(acc, part):
-        acc = jax.lax.fori_loop(0, c, lambda i, a: dc.double(spec, a), acc)
-        return dc.add(spec, acc, part), None
+        return dc.double_k_add(spec, acc, part, c), None
 
     rev = tuple(jnp.flip(p, axis=0) for p in partials)
     acc, _ = jax.lax.scan(horner_body, dc.point_zero(spec, ()), rev)

@@ -1,0 +1,127 @@
+"""Device pipeline for the R1CS prover's vector phase.
+
+The reference prover builds the blinded vector polynomials l(x), r(x)
+and their special inner product t(x) on the CPU (reference
+src/r1cs/prover.rs:671-756, src/util.rs:75-109). Here the O(n) work runs
+on device in Montgomery form:
+
+  l(x) = l1*x + l2*x^2 + l3*x^3        (l0 = 0)
+  r(x) = r0 + r1*x + r3*x^3            (r2 = 0)
+  l1 = aL + y^-i o wR   l2 = aO        l3 = sL
+  r0 = wO - y^i         r1 = y^i o aR + wL      r3 = y^i o sR
+
+Working on the PADDED length with zero-padded witness vectors makes the
+reference's r-padding (-y^i for i >= n, prover.rs:753-756) fall out of
+the formulas automatically: beyond n every term but -y^i vanishes.
+
+The six t-coefficients (util.rs:75-93, exploiting l0 = r2 = 0):
+  t1 = <l1,r0>  t2 = <l1,r1>+<l2,r0>  t3 = <l2,r1>+<l3,r0>
+  t4 = <l1,r3>+<l3,r1>  t5 = <l2,r3>  t6 = <l3,r3>
+
+Coefficient arrays stay on device between the two transcript syncs
+(T-commitments, then challenge x) and the evaluated l/r feed the
+device-resident IPA (ops/ipa.py) without touching the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as df
+from .limbs import N_LIMBS, ints_to_limbs, limbs_to_ints
+from .verify import _pow_vector
+
+U32 = jnp.uint32
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _poly_phase(fr, padded_n: int, lg_n: int,
+                aL, aR, aO, sL, sR, wL, wR, wO, y, y_inv):
+    """Canonical (padded_n, 16) inputs -> (t coeffs (6,16) canonical,
+    l/r coefficient arrays in Montgomery form)."""
+    to_m = lambda v: df.to_mont(fr, v)
+    aLm, aRm, aOm, sLm, sRm = to_m(aL), to_m(aR), to_m(aO), to_m(sL), to_m(sR)
+    wLm, wRm, wOm = to_m(wL), to_m(wR), to_m(wO)
+    y_m, y_inv_m = to_m(y), to_m(y_inv)
+
+    y_vec = _pow_vector(fr, y_m, padded_n, lg_n)
+    y_inv_vec = _pow_vector(fr, y_inv_m, padded_n, lg_n)
+
+    prods = df.mont_mul(
+        fr,
+        jnp.stack([y_inv_vec, y_vec, y_vec]),
+        jnp.stack([wRm, aRm, sRm]),
+    )
+    l1 = df.add(fr, aLm, prods[0])
+    l2 = aOm
+    l3 = sLm
+    r0 = df.sub(fr, wOm, y_vec)
+    r1 = df.add(fr, prods[1], wLm)
+    r3 = prods[2]
+
+    # nine inner products batched into one mul, then per-dot modular sums
+    lhs = jnp.stack([l1, l1, l2, l2, l3, l3, l1, l2, l3])
+    rhs = jnp.stack([r0, r1, r1, r0, r0, r1, r3, r3, r3])
+    dots = df.mont_mul(fr, lhs, rhs)  # (9, padded_n, 16)
+    sums = df.sum_mod(fr, dots, axis=1)  # (9, 16)
+    t1 = sums[0]
+    t2 = df.add(fr, sums[1], sums[3])
+    t3 = df.add(fr, sums[2], sums[4])
+    t4 = df.add(fr, sums[6], sums[5])
+    t5 = sums[7]
+    t6 = sums[8]
+
+    t_coeffs = df.from_mont(fr, jnp.stack([t1, t2, t3, t4, t5, t6]))
+    return t_coeffs, (l1, l2, l3, r0, r1, r3)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _eval_phase(fr, coeffs, x):
+    """Evaluate l(x), r(x); returns Montgomery (padded_n, 16) vectors."""
+    l1, l2, l3, r0, r1, r3 = coeffs
+    x_m = df.to_mont(fr, x)
+    xs = jnp.broadcast_to(x_m, l1.shape)
+    # l = x*(l1 + x*(l2 + x*l3))
+    t = df.mont_mul(fr, xs, l3)
+    t = df.mont_mul(fr, xs, df.add(fr, l2, t))
+    l_vec = df.mont_mul(fr, xs, df.add(fr, l1, t))
+    # r = r0 + x*(r1 + x*(x*r3))
+    u = df.mont_mul(fr, xs, r3)
+    u = df.mont_mul(fr, xs, u)
+    u = df.mont_mul(fr, xs, df.add(fr, r1, u))
+    r_vec = df.add(fr, r0, u)
+    return l_vec, r_vec
+
+
+class ProverVectorPhase:
+    """Device-resident l/r/t pipeline for one proof."""
+
+    def __init__(self, curve, padded_n: int, aL, aR, aO, sL, sR,
+                 wL, wR, wO, y: int, y_inv: int):
+        self.curve = curve
+        self.fr = df.spec_for(curve.fr)
+        self.padded_n = padded_n
+        lg_n = max((padded_n - 1).bit_length(), 1)
+
+        def vec(v):
+            return ints_to_limbs(list(v) + [0] * (padded_n - len(v)))
+
+        def one(v):
+            return ints_to_limbs([v])[0]
+
+        t_coeffs, self.coeffs = _poly_phase(
+            self.fr, padded_n, lg_n,
+            vec(aL), vec(aR), vec(aO), vec(sL), vec(sR),
+            vec(wL), vec(wR), vec(wO), one(y), one(y_inv),
+        )
+        self.t = limbs_to_ints(np.asarray(t_coeffs))  # [t1..t6]
+
+    def eval_lr(self, x: int):
+        """Device Montgomery l(x), r(x) after challenge x."""
+        return _eval_phase(
+            self.fr, self.coeffs, jnp.asarray(ints_to_limbs([x])[0])
+        )

@@ -69,9 +69,10 @@ def _s_vector(fr, u_sq, allinv, n: int, lg_n: int):
     return v
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnums=(0, 1, 2, 13))
 def _gh_scalars(fr, padded_n: int, lg_n: int,
-                wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1):
+                wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1,
+                mont_out: bool = False):
     """Device g/h scalar vectors + delta for one proof.
 
     wL/wR/wO: (padded_n, 16) CANONICAL limbs (zero-padded); scalars
@@ -121,17 +122,21 @@ def _gh_scalars(fr, padded_n: int, lg_n: int,
                df.mont_one(fr, (padded_n,))),
     )
 
+    if mont_out:
+        return g, h, df.from_mont(fr, delta)
     from_m = lambda v: df.from_mont(fr, v)
     return from_m(g), from_m(h), from_m(delta)
 
 
 def gh_scalars(curve, padded_n: int, wL, wR, wO,
                y_inv: int, u: int, x: int, a: int, b: int,
-               u_sq: list[int], allinv: int, n1: int):
-    """Host wrapper: int inputs -> device canonical (g, h) + delta int.
+               u_sq: list[int], allinv: int, n1: int,
+               mont_out: bool = False):
+    """Host wrapper: int inputs -> device (g, h) limb arrays + delta int.
 
-    g/h stay on device (returned as jax arrays) for direct MSM feeding;
-    delta returns as a host int for the B-coefficient formula.
+    g/h stay on device (returned as jax arrays, canonical unless
+    mont_out) for direct MSM feeding; delta returns as a host int for
+    the B-coefficient formula.
     """
     from .limbs import limbs_to_int
 
@@ -150,6 +155,17 @@ def gh_scalars(curve, padded_n: int, wL, wR, wO,
         vec(wL), vec(wR), vec(wO),
         one(y_inv), one(u), one(x), one(a), one(b),
         ints_to_limbs(list(u_sq)) if u_sq else np.zeros((0, 16), np.uint32),
-        one(allinv), jnp.uint32(n1),
+        one(allinv), jnp.uint32(n1), mont_out,
     )
     return g, h, limbs_to_int(np.asarray(delta))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _scale_accumulate(fr, acc_g, acc_h, g, h, alpha):
+    """(acc_g + alpha*g, acc_h + alpha*h), all Montgomery (m, 16)."""
+    ab = df.mont_mul(
+        fr,
+        jnp.stack([g, h]),
+        jnp.broadcast_to(alpha, g.shape)[None],
+    )
+    return df.add(fr, acc_g, ab[0]), df.add(fr, acc_h, ab[1])

@@ -274,23 +274,39 @@ class Prover(RandomizableConstraintSystem):
         wL, wR, wO, wV = self.flattened_constraints(z)
 
         # Blinded vector polynomials l(x), r(x) (reference prover.rs:671-701).
-        l_poly = VecPoly3(fr, n)
-        r_poly = VecPoly3(fr, n)
         y_inv = fr.inv(y)
         exp_y_inv = exp_vec(fr, y_inv, padded_n)
         s_L = s_L1 + s_L2
         s_R = s_R1 + s_R2
-        exp_y = 1
-        for i in range(n):
-            l_poly.c1[i] = (self.a_L[i] + exp_y_inv[i] * wR[i]) % p
-            l_poly.c2[i] = self.a_O[i]
-            l_poly.c3[i] = s_L[i]
-            r_poly.c0[i] = (wO[i] - exp_y) % p
-            r_poly.c1[i] = (exp_y * self.a_R[i] + wL[i]) % p
-            r_poly.c3[i] = exp_y * s_R[i] % p
-            exp_y = exp_y * y % p
 
-        t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
+        device_vectors = padded_n >= 256 and engine.use_device(
+            2 * padded_n, curve
+        )
+        if device_vectors:
+            # Device vector phase (ops/prove.py): l/r coefficients and
+            # the t-polynomial on-chip; l(x), r(x) stay device-resident
+            # and feed the device IPA directly.
+            from ..ops.prove import ProverVectorPhase
+
+            pv = ProverVectorPhase(
+                curve, padded_n, self.a_L, self.a_R, self.a_O,
+                s_L, s_R, wL, wR, wO, y, y_inv,
+            )
+            t_poly = Poly6(fr, *pv.t)
+            l_poly = r_poly = None
+        else:
+            l_poly = VecPoly3(fr, n)
+            r_poly = VecPoly3(fr, n)
+            exp_y = 1
+            for i in range(n):
+                l_poly.c1[i] = (self.a_L[i] + exp_y_inv[i] * wR[i]) % p
+                l_poly.c2[i] = self.a_O[i]
+                l_poly.c3[i] = s_L[i]
+                r_poly.c0[i] = (wO[i] - exp_y) % p
+                r_poly.c1[i] = (exp_y * self.a_R[i] + wL[i]) % p
+                r_poly.c3[i] = exp_y * s_R[i] % p
+                exp_y = exp_y * y % p
+            t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
 
         t_1_blinding = fr.rand(rng)
         t_3_blinding = fr.rand(rng)
@@ -324,13 +340,19 @@ class Prover(RandomizableConstraintSystem):
 
         t_x = t_poly.eval(x)
         t_x_blinding = t_blinding_poly.eval(x)
-        l_vec = l_poly.eval(x) + [0] * pad
-        r_vec = r_poly.eval(x) + [0] * pad
-        # Padding of r carries -y^i so <l, r> stays consistent with t(x)
-        # (reference prover.rs:753-756); exp_y == y^n here.
-        for i in range(n, padded_n):
-            r_vec[i] = (p - exp_y) % p
-            exp_y = exp_y * y % p
+        if device_vectors:
+            # Device evaluation; padding with -y^i is implicit (the
+            # padded formulas degenerate to r[i] = -y^i, l[i] = 0).
+            l_vec, r_vec = pv.eval_lr(x)
+        else:
+            l_vec = l_poly.eval(x) + [0] * pad
+            r_vec = r_poly.eval(x) + [0] * pad
+            # Padding of r carries -y^i so <l, r> stays consistent with
+            # t(x) (reference prover.rs:753-756); exp_y == y^n here.
+            exp_y = fr.pow(y, n)
+            for i in range(n, padded_n):
+                r_vec[i] = (p - exp_y) % p
+                exp_y = exp_y * y % p
 
         i_blinding = (i_blinding1 + u * i_blinding2) % p
         o_blinding = (o_blinding1 + u * o_blinding2) % p
@@ -353,8 +375,9 @@ class Prover(RandomizableConstraintSystem):
         )
 
         # Secret hygiene (best effort; see util.VecPoly3.clear docstring).
-        l_poly.clear()
-        r_poly.clear()
+        if l_poly is not None:
+            l_poly.clear()
+            r_poly.clear()
         s_L1[:] = [0] * len(s_L1)
         s_R1[:] = [0] * len(s_R1)
         s_L2[:] = [0] * len(s_L2)

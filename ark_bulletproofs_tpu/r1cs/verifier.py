@@ -445,13 +445,23 @@ def batch_verify(
     fr = curve.fr
     p = fr.p
 
+    ings = [
+        verifier._verification_ingredients(proof, bp_gens)
+        for verifier, proof in instances
+    ]
+    max_padded = max(ing["padded_n"] for ing in ings)
+    if max_padded >= 256 and engine.use_device(2 * max_padded, curve):
+        return _batch_verify_device(
+            prng, instances, ings, pc_gens, bp_gens, max_padded
+        )
+
     max_n_padded = 0
     verifiers = []
     proofs = []
     all_vec = []
-    for verifier, proof in instances:
-        scalars = verifier.verification_scalars(proof, bp_gens)
-        n = next_power_of_two(verifier.num_vars)
+    for (verifier, proof), ing in zip(instances, ings):
+        scalars = verifier._assemble_host_scalars(ing, proof)
+        n = ing["padded_n"]
         max_n_padded = max(max_n_padded, n)
         all_vec.append(scalars)
         verifiers.append(verifier)
@@ -487,4 +497,88 @@ def batch_verify(
 
     multi_exp = engine.msm(curve, all_elems, all_scalars)
     if not curve.is_zero(multi_exp):
+        raise R1CSVerificationError("batch verification failed")
+
+
+def _batch_verify_device(
+    prng, instances, ings, pc_gens, bp_gens, max_padded: int
+) -> None:
+    """Device-resident batch verification: per-proof g/h vectors are
+    built and alpha-scaled on-chip in Montgomery form; shared generator
+    columns accumulate on device; one device mega-MSM closes the batch.
+    Mirrors reference verifier.rs:604-691 with the column-sharing trick.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import cache as dcache
+    from ..ops import curve as dc
+    from ..ops import field as dfield
+    from ..ops import msm as dmsm
+    from ..ops import verify as dverify
+    from ..ops.limbs import N_LIMBS, ints_to_limbs
+
+    curve = pc_gens.curve
+    fr = curve.fr
+    p = fr.p
+    frs = dfield.spec_for(fr)
+
+    acc_g = jnp.zeros((max_padded, N_LIMBS), jnp.uint32)
+    acc_h = jnp.zeros((max_padded, N_LIMBS), jnp.uint32)
+    head_acc = [0, 0]
+    tails: list[int] = []
+    extra_bases: list = []
+
+    for (verifier, proof), ing in zip(instances, ings):
+        padded_n = ing["padded_n"]
+        g, h, delta = dverify.gh_scalars(
+            curve, padded_n, ing["wL"], ing["wR"], ing["wO"],
+            fr.inv(ing["y"]), ing["u"], ing["x"], ing["a"], ing["b"],
+            ing["u_sq"], ing["allinv"], ing["n1"], mont_out=True,
+        )
+        head, tail = verifier._head_tail_scalars(ing, proof, p, delta)
+        alpha = fr.rand(prng)
+        if padded_n != max_padded:
+            pad = ((0, max_padded - padded_n), (0, 0))
+            g = jnp.pad(g, pad)
+            h = jnp.pad(h, pad)
+        alpha_m = jnp.asarray(ints_to_limbs([alpha * fr.R % p])[0])
+        acc_g, acc_h = dverify._scale_accumulate(
+            frs, acc_g, acc_h, g, h, alpha_m
+        )
+        head_acc[0] = (head_acc[0] + alpha * head[0]) % p
+        head_acc[1] = (head_acc[1] + alpha * head[1]) % p
+        tails.extend(s * alpha % p for s in tail)
+        extra_bases.extend(verifier._extra_bases(proof))
+
+    g_can = dfield.from_mont(frs, acc_g)
+    h_can = dfield.from_mont(frs, acc_h)
+
+    Xp, Yp, Ip = dcache.pc_pair(pc_gens, curve)
+    Xt, Yt, It = dcache.bp_table(bp_gens, curve, max_padded)
+    Xe, Ye, Ie = dc.affine_to_device(curve, extra_bases)
+
+    total = 2 + 2 * max_padded + len(tails)
+    M = dmsm._pad_pow2(total)
+    padk = M - total
+    scal = jnp.concatenate(
+        [
+            jnp.asarray(ints_to_limbs(head_acc)),
+            g_can,
+            h_can,
+            jnp.asarray(ints_to_limbs(tails)),
+            jnp.zeros((padk, N_LIMBS), jnp.uint32),
+        ]
+    )
+    zpad = jnp.zeros((padk, N_LIMBS), jnp.uint32)
+    X = jnp.concatenate([Xp, Xt, jnp.asarray(Xe), zpad])
+    Y = jnp.concatenate([Yp, Yt, jnp.asarray(Ye), zpad])
+    inf = jnp.concatenate(
+        [Ip, It, jnp.asarray(np.asarray(Ie)), jnp.ones(padk, bool)]
+    )
+    spec = dc.spec_for(curve)
+    c = dmsm._window_bits(M)
+    out = dmsm.msm_device(spec, c, X, Y, inf, scal)
+    host_pt = dc.point_to_host(curve, out)
+    if not curve.is_zero(host_pt):
         raise R1CSVerificationError("batch verification failed")

@@ -37,6 +37,7 @@ def test_sum_dot_mod():
     assert limbs_to_int(d) == want * R % f.p
 
 
+@pytest.mark.heavy
 def test_ipa_device_matches_host(monkeypatch):
     n = 64
     G, H, Q, a, b, Gf, Hf, P = make_instance(n)

@@ -43,6 +43,7 @@ def test_msm_small_and_edges():
     assert dmsm.msm(curve, dup, ks) == curve.msm(dup, ks)
 
 
+@pytest.mark.heavy
 def test_msm_n32():
     curve = curves.secq256k1
     rng = random.Random(132)
@@ -51,6 +52,7 @@ def test_msm_n32():
     assert dmsm.msm(curve, pts, ks) == curve.msm(pts, ks)
 
 
+@pytest.mark.heavy
 def test_msm_zorro():
     curve = curves.zorro
     rng = random.Random(7)
@@ -59,6 +61,7 @@ def test_msm_zorro():
     assert dmsm.msm(curve, pts, ks) == curve.msm(pts, ks)
 
 
+@pytest.mark.heavy
 def test_msm_curve25519_te():
     """Twisted-Edwards device kernels (extended coordinates)."""
     curve = curves.curve25519

@@ -2,6 +2,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from ark_bulletproofs_tpu import engine
 from ark_bulletproofs_tpu.curves import secq256k1 as C
 from ark_bulletproofs_tpu.errors import R1CSVerificationError
@@ -36,6 +38,45 @@ def test_device_verify_rejects_tampered(shuffle_instance, monkeypatch):
     monkeypatch.setattr(engine.config, "backend", "jax")
     with pytest.raises(R1CSVerificationError):
         proof.verify(pc, bp, Transcript(b"devverify"), oc, ic)
+
+
+def test_device_prover_matches_host(monkeypatch):
+    """Same seed -> bit-identical proof on host and device prover paths."""
+    pc = PedersenGens.default(C)
+    bp = BulletproofGens(C, 256, 1)
+    vals = [seeded_rng(5).next_u64() for _ in range(K)]
+    perm = list(reversed(vals))
+
+    monkeypatch.setattr(engine.config, "backend", "host")
+    ph, ic1, oc1 = ShuffleProof.prove(
+        seeded_rng(9), pc, bp, Transcript(b"devprove"), vals, perm
+    )
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    pd, ic2, oc2 = ShuffleProof.prove(
+        seeded_rng(9), pc, bp, Transcript(b"devprove"), vals, perm
+    )
+    monkeypatch.setattr(engine.config, "backend", "host")
+    assert ic1 == ic2 and oc1 == oc2
+    assert ph.proof.to_bytes(C) == pd.proof.to_bytes(C)
+
+
+def test_device_batch_verify(shuffle_instance, monkeypatch):
+    from ark_bulletproofs_tpu.r1cs import batch_verify
+
+    pc, bp, proof, ic, oc = shuffle_instance
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    v1 = proof.build_verifier(pc, Transcript(b"devverify"), ic, oc)
+    v2 = proof.build_verifier(pc, Transcript(b"devverify"), ic, oc)
+    batch_verify(
+        seeded_rng(3), [(v1, proof.proof), (v2, proof.proof)], pc, bp
+    )
+    # a bad instance must fail the whole batch
+    v3 = proof.build_verifier(pc, Transcript(b"devverify"), ic, oc)
+    v4 = proof.build_verifier(pc, Transcript(b"devverify"), oc, ic)
+    with pytest.raises(R1CSVerificationError):
+        batch_verify(
+            seeded_rng(3), [(v3, proof.proof), (v4, proof.proof)], pc, bp
+        )
 
 
 def test_device_matches_host_scalars(shuffle_instance, monkeypatch):

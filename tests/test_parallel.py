@@ -12,6 +12,7 @@ from ark_bulletproofs_tpu.parallel.msm import msm_sharded
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+@pytest.mark.heavy
 def test_sharded_msm_matches_host():
     curve = curves.secq256k1
     mesh = make_mesh(8)
@@ -24,6 +25,7 @@ def test_sharded_msm_matches_host():
     assert got == curve.msm(pts, ks)
 
 
+@pytest.mark.heavy
 def test_graft_entry_single_chip():
     import importlib.util
 
@@ -38,6 +40,7 @@ def test_graft_entry_single_chip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.heavy
 def test_graft_entry_multichip():
     import importlib.util
 
