@@ -45,13 +45,16 @@ def _round_scalars(fr: df.FieldSpec, a, b, gm, hm, m, curm1, M: int):
     """
     N = a.shape[0]
     idx = jnp.arange(N, dtype=U32)
-    i = idx & curm1
+    i = idx & curm1  # slot of original index t in the current round
     right = i >= m
     left = ~right
     active = idx < m
 
-    a_up = jnp.take(a, (idx + m).astype(jnp.int32), axis=0, mode="clip")
-    b_up = jnp.take(b, (idx + m).astype(jnp.int32), axis=0, mode="clip")
+    # weight gathers address the FOLDED vectors by slot i, not by t:
+    # gw_L[t] = a[i-m]*gm[t] (right slots), hw_L[t] = b[i+m]*hm[t] (left)
+    up_idx = (i + m).astype(jnp.int32)
+    a_up = jnp.take(a, up_idx, axis=0, mode="clip")
+    b_up = jnp.take(b, up_idx, axis=0, mode="clip")
     dn_idx = jnp.maximum(i.astype(jnp.int32) - m.astype(jnp.int32), 0)
     a_dn = jnp.take(a, dn_idx, axis=0, mode="clip")
     b_dn = jnp.take(b, dn_idx, axis=0, mode="clip")
@@ -111,10 +114,9 @@ def _fold(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, m, curm1):
     return a_new, b_new, prods[4], prods[5]
 
 
-_msm_pair = jax.jit(
-    jax.vmap(dmsm.msm_impl, in_axes=(None, None, None, None, None, 0)),
-    static_argnums=(0, 1),
-)
+# L and R ride the batched-scalar-set mode of msm_impl: one program,
+# same graph size as a single MSM, 2x the window groups.
+_msm_pair = dmsm.msm_device
 
 
 class IpaDeviceProver:

@@ -49,11 +49,12 @@ SCALAR_BITS = 256
 def _window_bits(n: int) -> int:
     """Pippenger window size; must divide 16 (limb alignment).
 
-    c=16 halves suffix-scan work for huge n but makes the bit-plane
-    weighted reduction S = 2^16 wide; c=8 balances both for the sizes
-    measured so far.
+    c=8 balances suffix-scan work against the S = 2^c weighted
+    reduction for large n; small sizes use c=4, whose much smaller S
+    also sidesteps an XLA:CPU pathological-compile regime observed at
+    (S=256, small C) shapes.
     """
-    return 8 if n >= 256 else 4
+    return 8 if n >= 4096 else 4
 
 
 def _log2(x: int) -> int:
@@ -61,16 +62,28 @@ def _log2(x: int) -> int:
 
 
 def _digits_for_windows(scal, ws, c: int):
-    """(G, n) digits for the (traced) window indices ws (G,)."""
+    """(G, n) digits for (traced) window indices ws (G,).
+
+    scal may be (n, 16) for one scalar set or (B, n, 16) for a batch;
+    in the batched case a window index w encodes (set b, window w%W):
+    b = w // W. Used to fuse several MSMs over the same bases (e.g. the
+    IPA's L and R) into one program with no extra graph size.
+    """
 
     def one(w):
-        if c == 16:
-            return jax.lax.dynamic_index_in_dim(
-                scal, w, axis=1, keepdims=False
+        if scal.ndim == 3:
+            W = SCALAR_BITS // c
+            s = jax.lax.dynamic_index_in_dim(
+                scal, w // W, axis=0, keepdims=False
             )
+            w = w % W
+        else:
+            s = scal
+        if c == 16:
+            return jax.lax.dynamic_index_in_dim(s, w, axis=1, keepdims=False)
         per = 16 // c
         limb = jax.lax.dynamic_index_in_dim(
-            scal, w // per, axis=1, keepdims=False
+            s, w // per, axis=1, keepdims=False
         )
         shift = (w % per).astype(U32) * c
         return (limb >> shift) & jnp.uint32((1 << c) - 1)
@@ -127,13 +140,17 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
     """Full Pippenger MSM on device (pure function; jit via msm_device).
 
     X, Y: (n, 16) affine Montgomery limbs; inf: (n,) bool; scal: (n, 16)
-    canonical scalar limbs. n must be a power of two. Returns one
-    device point (Jacobian for SW, extended for TE).
+    canonical scalar limbs — or (B, n, 16) for B scalar sets over the
+    SAME bases (returns B points, one per set; the window axis of all
+    sets is flattened through the same group machinery). n must be a
+    power of two.
     """
     n = X.shape[0]
+    B = scal.shape[0] if scal.ndim == 3 else 1
     W = SCALAR_BITS // c
-    G = min(W, 8)
-    n_groups = W // G
+    BW = B * W
+    G = min(BW, 8)
+    n_groups = BW // G
     S = min(1 << c, n)
     # R rows of linear scan work (n mixed adds) over C columns whose
     # carries are Hillis-Steele'd (C log C general adds) — small R keeps
@@ -148,18 +165,14 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
         digits = _digits_for_windows(scal, ws, c)  # (G, n)
         order = jnp.argsort(digits, axis=-1)
         sd = jnp.take_along_axis(digits, order, axis=-1)
-        Xs, Ys = X[order], Y[order]  # (G, n, 16)
-        Is = inf[order]
 
         # --- suffix sums over sorted points (column-major chunks) -----
-        # flat sorted index i = col*R + r  ->  [r, G, col]
-        def to_rgc(a, lastdim):
-            shp = (G, C, R) + ((lastdim,) if lastdim else ())
-            perm = (2, 0, 1) + ((3,) if lastdim else ())
-            return a.reshape(shp).transpose(perm)
-
-        cX, cY = to_rgc(Xs, N_LIMBS), to_rgc(Ys, N_LIMBS)
-        cI = to_rgc(Is, 0)
+        # flat sorted index i = col*R + r  ->  [r, G, col]; gather the
+        # points DIRECTLY into that layout (transposing the small index
+        # array instead of three big limb arrays).
+        idx_rgc = order.reshape(G, C, R).transpose(2, 0, 1)  # (R, G, C)
+        cX, cY = X[idx_rgc], Y[idx_rgc]  # (R, G, C, 16)
+        cI = inf[idx_rgc]
 
         def row_body(acc, row):
             qx, qy, qi = row
@@ -220,14 +233,20 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
 
     gids = jnp.arange(n_groups, dtype=U32)
     _, parts = jax.lax.scan(group_body, 0, gids)  # (n_groups, G, ...)
-    partials = tuple(a.reshape((W,) + a.shape[2:]) for a in parts)
+    # flattened window index = b*W + w  ->  (B, W, ...), then scan the
+    # window axis with a (B,)-wide Horner accumulator
+    partials = tuple(
+        jnp.flip(a.reshape((B, W) + a.shape[2:]), axis=1).swapaxes(0, 1)
+        for a in parts
+    )  # (W, B, ...), top window first
 
     # Horner over windows, top window first: acc = 2^c * acc + W_w
     def horner_body(acc, part):
         return dc.double_k_add(spec, acc, part, c), None
 
-    rev = tuple(jnp.flip(p, axis=0) for p in partials)
-    acc, _ = jax.lax.scan(horner_body, dc.point_zero(spec, ()), rev)
+    acc, _ = jax.lax.scan(horner_body, dc.point_zero(spec, (B,)), partials)
+    if scal.ndim == 2:
+        return tuple(a[0] for a in acc)
     return acc
 
 
