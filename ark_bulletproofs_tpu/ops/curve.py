@@ -485,6 +485,25 @@ def point_to_host(curve, P) -> object:
 jacobian_to_host = point_to_host
 
 
+def pvary(x, axis_name):
+    """Promote a replicated value to device-varying under shard_map.
+
+    Needed for scan/fori carry inits built from constants inside a
+    shard_map body: the carry's varying-manual-axes set must match the
+    per-iteration output's, and constants start out unvaried. No-op
+    outside shard_map (axis_name None)."""
+    if axis_name is None:
+        return x
+    try:
+        return jax.lax.pcast(x, axis_name, to="varying")
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, axis_name)
+
+
+def pvary_point(P: Point, axis_name):
+    return tuple(pvary(c, axis_name) for c in P)
+
+
 @partial(jax.jit, static_argnums=0)
 def batch_add(spec, P, Q):
     return add(spec, P, Q)

@@ -136,14 +136,15 @@ def _tree_reduce(spec, P, S: int):
     return tuple(coord[..., 0, :] for coord in out)
 
 
-def msm_impl(spec, c: int, X, Y, inf, scal):
+def msm_impl(spec, c: int, X, Y, inf, scal, axis_name=None):
     """Full Pippenger MSM on device (pure function; jit via msm_device).
 
     X, Y: (n, 16) affine Montgomery limbs; inf: (n,) bool; scal: (n, 16)
     canonical scalar limbs — or (B, n, 16) for B scalar sets over the
     SAME bases (returns B points, one per set; the window axis of all
     sets is flattened through the same group machinery). n must be a
-    power of two.
+    power of two. `axis_name` marks execution inside a shard_map body so
+    replicated scan-carry inits are pvary'd (vma consistency).
     """
     n = X.shape[0]
     B = scal.shape[0] if scal.ndim == 3 else 1
@@ -181,7 +182,7 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
 
         rev = (jnp.flip(cX, 0), jnp.flip(cY, 0), jnp.flip(cI, 0))
         tot, local_rev = jax.lax.scan(
-            row_body, dc.point_zero(spec, (G, C)), rev
+            row_body, dc.pvary_point(dc.point_zero(spec, (G, C)), axis_name), rev
         )
         local = tuple(jnp.flip(a, 0) for a in local_rev)  # (R, G, C, 16)
 
@@ -228,7 +229,9 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
             return dc.double_k_add(spec, acc, b, 1), None
 
         ts = jnp.arange(c - 1, -1, -1, dtype=jnp.int32)
-        wsum, _unused = jax.lax.scan(bit_body, dc.point_zero(spec, (G,)), ts)
+        wsum, _unused = jax.lax.scan(
+            bit_body, dc.pvary_point(dc.point_zero(spec, (G,)), axis_name), ts
+        )
         return carry0, wsum  # (G,) points
 
     gids = jnp.arange(n_groups, dtype=U32)
@@ -244,7 +247,9 @@ def msm_impl(spec, c: int, X, Y, inf, scal):
     def horner_body(acc, part):
         return dc.double_k_add(spec, acc, part, c), None
 
-    acc, _ = jax.lax.scan(horner_body, dc.point_zero(spec, (B,)), partials)
+    acc, _ = jax.lax.scan(
+        horner_body, dc.pvary_point(dc.point_zero(spec, (B,)), axis_name), partials
+    )
     if scal.ndim == 2:
         return tuple(a[0] for a in acc)
     return acc

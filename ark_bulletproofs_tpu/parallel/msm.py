@@ -1,12 +1,20 @@
 """Multi-chip sharded MSM via shard_map over a 1-D device mesh.
 
 Strategy (SPMD, ICI-friendly): points and scalars are sharded on their
-leading axis; every device runs the full single-chip Pippenger
-(ops/msm.py) on its local shard — bucket accumulation is embarrassingly
-parallel across point shards because group addition commutes — then the
-per-device Jacobian partials (one point each, ~384 bytes) are all-gathered
-over ICI and tree-added on every device. Communication is O(devices),
-independent of n, so scaling is linear up to sort/compile overheads.
+leading axis; every device runs a full single-chip MSM (ops/msm.py, or
+the compile-light ops/msm_serial.py) on its local shard — bucket
+accumulation is embarrassingly parallel across point shards because
+group addition commutes — then the per-device Jacobian partials (one
+point each, ~192 bytes) are all-gathered over ICI and tree-added on
+every device. Communication is O(devices), independent of n, so scaling
+is linear up to sort/compile overheads.
+
+Two kernels, one sharding:
+  * `sharded_msm_fn`       — production Pippenger per shard (fast, but
+    ~10 group-law instantiations ≈ minutes of XLA compile on CPU);
+  * `sharded_msm_serial_fn` — bit-serial Horner per shard (~3
+    instantiations, compiles in well under a minute) for the multichip
+    dryrun and the CPU-mesh test suite.
 """
 
 from __future__ import annotations
@@ -19,51 +27,106 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import curve as dc
 from ..ops import msm as dmsm
+from ..ops import msm_serial as dmsm_serial
 from .mesh import DATA_AXIS
 
 
-def _local_then_allreduce(spec, c, X, Y, inf, scal):
-    part = dmsm.msm_impl(spec, c, X, Y, inf, scal)
-    # (3, 16) point -> gather partials from every device: (D, 16) per coord
-    gathered = tuple(
-        jax.lax.all_gather(coord, DATA_AXIS, axis=0) for coord in part
+def _reduce_partials(spec, parts):
+    """Tree-add a (D, 16)-coord array of per-device partial points.
+
+    Runs *outside* the shard_map body on the global (device-sharded)
+    partials — XLA lays the D-1 adds out with its own ICI data movement,
+    and the varying-manual-axes typing stays sound (a collective inside
+    the body would produce a `varying` output that cannot be typed as
+    replicated). One `add` instantiation (the fori body compiles once).
+    """
+    D = parts[0].shape[0]
+
+    def body(i, acc):
+        nxt = tuple(
+            jax.lax.dynamic_index_in_dim(g, i, axis=0, keepdims=False)
+            for g in parts
+        )
+        return dc.add(spec, acc, nxt)
+
+    init = tuple(g[0] for g in parts)
+    return jax.lax.fori_loop(1, D, body, init)
+
+
+def _local_partial(spec, c, X, Y, inf, scal):
+    part = dmsm.msm_impl(spec, c, X, Y, inf, scal, axis_name=DATA_AXIS)
+    return tuple(coord[None] for coord in part)  # (1, 16) per device
+
+
+def _local_serial_partial(spec, X, Y, inf, scal):
+    part = dmsm_serial.msm_serial_impl(
+        spec, X, Y, inf, scal, axis_name=DATA_AXIS
     )
-    D = gathered[0].shape[0]
-    acc = tuple(g[0] for g in gathered)
-    for i in range(1, D):
-        acc = dc.add(spec, acc, tuple(g[i] for g in gathered))
-    return acc
+    return tuple(coord[None] for coord in part)
 
 
 def sharded_msm_fn(spec: dc.CurveSpec, c: int, mesh: Mesh):
-    """Returns a jittable fn (X, Y, inf, scal) -> replicated Jacobian point.
+    """Returns a jittable fn (X, Y, inf, scal) -> one Jacobian point.
 
-    Inputs are global arrays with leading axis divisible by the mesh size;
-    shard_map splits them across DATA_AXIS.
+    Inputs are global arrays with leading axis divisible by the mesh
+    size; shard_map splits them across DATA_AXIS, each device runs the
+    full Pippenger on its shard, and the D single-point partials are
+    tree-added outside the sharded region.
     """
-    local = partial(_local_then_allreduce, spec, c)
-    return jax.shard_map(
-        local,
+    local = jax.shard_map(
+        partial(_local_partial, spec, c),
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(), P(), P()),
-        # the MSM scan carries start as replicated constants and become
-        # device-varying on the first iteration; skip the vma check
-        check_vma=False,
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
     )
 
+    def fn(X, Y, inf, scal):
+        return _reduce_partials(spec, local(X, Y, inf, scal))
 
-def msm_sharded(curve, bases: list, scalars: list[int], mesh: Mesh):
-    """Host-facing multi-chip MSM (affine int points in/out)."""
+    return fn
+
+
+def sharded_msm_serial_fn(spec: dc.CurveSpec, mesh: Mesh):
+    """Compile-light sharded MSM (bit-serial Horner per shard)."""
+    local = jax.shard_map(
+        partial(_local_serial_partial, spec),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+    )
+
+    def fn(X, Y, inf, scal):
+        return _reduce_partials(spec, local(X, Y, inf, scal))
+
+    return fn
+
+
+_JIT_CACHE: dict = {}
+
+
+def _jitted(kind: str, spec, mesh: Mesh, c: int | None = None):
+    """Memoize the jitted sharded programs: repeated host-facing calls
+    with the same (spec, mesh, c) reuse one PjitFunction, so equal-shape
+    invocations hit the jit cache instead of re-tracing."""
+    key = (kind, spec, mesh, c)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        if kind == "pippenger":
+            fn = jax.jit(sharded_msm_fn(spec, c, mesh))
+        else:
+            fn = jax.jit(sharded_msm_serial_fn(spec, mesh))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _prepare(curve, bases, scalars, mesh):
     import numpy as np
 
     from ..ops.limbs import ints_to_limbs
 
-    n = len(bases)
-    if n == 0:
-        return curve.zero()
     spec = dc.spec_for(curve)
     D = mesh.devices.size
+    n = len(bases)
     m = dmsm._pad_pow2(max(n, D))
     m = ((m + D - 1) // D) * D
     fr_p = curve.fr.p
@@ -71,7 +134,25 @@ def msm_sharded(curve, bases: list, scalars: list[int], mesh: Mesh):
     pts = list(bases) + [None] * (m - n)
     X, Y, inf = dc.affine_to_device(curve, pts)
     scal = ints_to_limbs(ks)
-    c = dmsm._window_bits(m // D)
-    fn = jax.jit(sharded_msm_fn(spec, c, mesh))
-    out = fn(X, Y, np.asarray(inf), scal)
+    return spec, m, X, Y, np.asarray(inf), scal
+
+
+def msm_sharded(curve, bases: list, scalars: list[int], mesh: Mesh):
+    """Host-facing multi-chip MSM (affine int points in/out)."""
+    if len(bases) == 0:
+        return curve.zero()
+    spec, m, X, Y, inf, scal = _prepare(curve, bases, scalars, mesh)
+    c = dmsm._window_bits(m // mesh.devices.size)
+    fn = _jitted("pippenger", spec, mesh, c)
+    out = fn(X, Y, inf, scal)
+    return dc.jacobian_to_host(curve, out)
+
+
+def msm_sharded_serial(curve, bases: list, scalars: list[int], mesh: Mesh):
+    """Host-facing compile-light multi-chip MSM (dryrun/test path)."""
+    if len(bases) == 0:
+        return curve.zero()
+    spec, m, X, Y, inf, scal = _prepare(curve, bases, scalars, mesh)
+    fn = _jitted("serial", spec, mesh)
+    out = fn(X, Y, inf, scal)
     return dc.jacobian_to_host(curve, out)
