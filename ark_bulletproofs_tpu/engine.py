@@ -56,3 +56,33 @@ def msm(curve, bases: list, scalars: list[int]):
 
         return device_msm.msm(curve, bases, scalars)
     return curve.msm(bases, scalars)
+
+
+# --- multi-chip mesh (SURVEY.md §2c: sharded MSM / batch-verify) --------
+
+_mesh = None
+
+
+def set_mesh(mesh) -> None:
+    """Install a jax.sharding.Mesh; subsequent large MSMs (single-proof
+    mega-MSM, batch_verify, device IPA round commitments) shard their
+    base-point axis across it. Pass None to go back to single-chip."""
+    global _mesh
+    _mesh = mesh
+
+
+def active_mesh():
+    """The installed mesh, or an auto-built 1-D all-device mesh when
+    ABTPU_MESH=auto and more than one device is visible. None = off."""
+    global _mesh
+    if config.backend == "host":
+        return None
+    if _mesh is None and os.environ.get("ABTPU_MESH", "") == "auto":
+        if _jax_available():
+            import jax
+
+            if len(jax.devices()) > 1:
+                from .parallel.mesh import make_mesh
+
+                _mesh = make_mesh()
+    return _mesh

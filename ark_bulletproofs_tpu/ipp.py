@@ -198,6 +198,67 @@ class InnerProductProof:
         a0, b0 = st.final_ab()
         return cls(L_vec, R_vec, a0, b0)
 
+    @classmethod
+    def create_batch(
+        cls,
+        transcripts: list,
+        curve,
+        base_B,
+        ws: list[int],
+        G_factors_list,
+        H_factors_list,
+        G_vec: list,
+        H_vec: list,
+        a_list,
+        b_list,
+    ) -> list["InnerProductProof"]:
+        """Create P proofs in LOCKSTEP (one per transcript) over shared
+        generator vectors, with Q_b = ws[b] * base_B (the R1CS shape,
+        reference src/r1cs/prover.rs:777-779).
+
+        The reference proves serially (inner_product_proof.rs:37); here
+        every round's 2P MSMs fuse into one batched-scalar-set device MSM
+        and the lg(n) Fiat-Shamir host syncs amortize across the batch
+        (SURVEY.md hard-part #4). Each proof is bit-identical to the one
+        `create` would produce against the same transcript.
+        """
+        from .ops.ipa import IpaBatchProver
+
+        f = curve.fr
+        n = len(G_vec)
+        P = len(a_list)
+        assert P == len(transcripts) == len(ws)
+        assert n >= 1 and (n & (n - 1)) == 0
+
+        for t in transcripts:
+            protocol.innerproduct_domain_sep(t, n)
+
+        st = IpaBatchProver(
+            curve, base_B, ws, G_vec, H_vec,
+            G_factors_list, H_factors_list, a_list, b_list,
+        )
+        L_vecs = [[] for _ in range(P)]
+        R_vecs = [[] for _ in range(P)]
+        cur = n
+        while cur != 1:
+            us, u_invs = [], []
+            for b, (L, R) in enumerate(st.round_commit(cur)):
+                L_vecs[b].append(L)
+                R_vecs[b].append(R)
+                t = transcripts[b]
+                protocol.append_point(t, curve, b"L", L)
+                protocol.append_point(t, curve, b"R", R)
+                u = protocol.challenge_scalar(t, curve, b"u")
+                us.append(u)
+                u_invs.append(f.inv(u))
+            st.fold(cur, us, u_invs)
+            cur //= 2
+        finals = st.final_ab()
+        return [
+            cls(L_vecs[b], R_vecs[b], finals[b][0], finals[b][1])
+            for b in range(P)
+        ]
+
     # --- verification ------------------------------------------------------
 
     def verification_challenges(

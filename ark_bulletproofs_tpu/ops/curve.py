@@ -41,17 +41,26 @@ class CurveSpec:
     a_mont_limbs: tuple  # a * R mod p
     b_mont_limbs: tuple  # b * R mod p
     is_a_zero: bool
+    # RCB complete projective formulas: b3 = 3b; when the PLAIN constant
+    # is small (< 2^16) kernels use double-and-add instead of a full mul.
+    b3_mont_limbs: tuple = ()
+    b3_small: int | None = None
+    a_small: int | None = None
 
     @classmethod
     def create(cls, name: str, fq: FieldSpec, a: int, b: int) -> "CurveSpec":
         R = (1 << 256) % fq.p
+        a_, b3 = a % fq.p, 3 * b % fq.p
         return cls(
             name=name,
             fq=fq,
             a=a,
-            a_mont_limbs=tuple(int(v) for v in int_to_limbs(a % fq.p * R % fq.p)),
+            a_mont_limbs=tuple(int(v) for v in int_to_limbs(a_ * R % fq.p)),
             b_mont_limbs=tuple(int(v) for v in int_to_limbs(b % fq.p * R % fq.p)),
-            is_a_zero=(a % fq.p == 0),
+            is_a_zero=(a_ == 0),
+            b3_mont_limbs=tuple(int(v) for v in int_to_limbs(b3 * R % fq.p)),
+            b3_small=(3 * b if 0 < b < (1 << 14) else None),
+            a_small=(a if 0 < a < (1 << 14) else None),
         )
 
     @property

@@ -40,42 +40,13 @@ def _round_scalars(fr: df.FieldSpec, a, b, gm, hm, m, curm1, M: int):
 
     a, b, gm, hm: (N, 16) Montgomery. m: current half size (dynamic).
     curm1: cur - 1 (dynamic; cur is a power of two so & curm1 is mod cur).
-    Returns (scal2 (2, M, 16) canonical, none) where row 0 = L scalars
-    [gw_L | hw_L | c_L | 0...], row 1 = R scalars.
+    Returns (scal2 (2, M, 16) canonical) where row 0 = L scalars
+    [gw_L | hw_L | c_L | 0...], row 1 = R scalars. Shared body with the
+    batched path (`_round_scalars_mont`); the single-proof Q column
+    carries factor one.
     """
-    N = a.shape[0]
-    idx = jnp.arange(N, dtype=U32)
-    i = idx & curm1  # slot of original index t in the current round
-    right = i >= m
-    left = ~right
-    active = idx < m
-
-    # weight gathers address the FOLDED vectors by slot i, not by t:
-    # gw_L[t] = a[i-m]*gm[t] (right slots), hw_L[t] = b[i+m]*hm[t] (left)
-    up_idx = (i + m).astype(jnp.int32)
-    a_up = jnp.take(a, up_idx, axis=0, mode="clip")
-    b_up = jnp.take(b, up_idx, axis=0, mode="clip")
-    dn_idx = jnp.maximum(i.astype(jnp.int32) - m.astype(jnp.int32), 0)
-    a_dn = jnp.take(a, dn_idx, axis=0, mode="clip")
-    b_dn = jnp.take(b, dn_idx, axis=0, mode="clip")
-
-    prods = df.mont_mul(
-        fr,
-        jnp.stack([a_dn, b_up, a_up, b_dn, a, a_up]),
-        jnp.stack([gm, hm, gm, hm, b_up, b]),
-    )
-    gw_L = df.select(right, prods[0], jnp.zeros_like(prods[0]))
-    hw_L = df.select(left, prods[1], jnp.zeros_like(prods[1]))
-    gw_R = df.select(left, prods[2], jnp.zeros_like(prods[2]))
-    hw_R = df.select(right, prods[3], jnp.zeros_like(prods[3]))
-    zero = jnp.zeros_like(a)
-    c_L = df.sum_mod(fr, df.select(active, prods[4], zero))
-    c_R = df.sum_mod(fr, df.select(active, prods[5], zero))
-
-    pad = jnp.zeros((M - 2 * N - 1, N_LIMBS), U32)
-    row_L = jnp.concatenate([gw_L, hw_L, c_L[None], pad], axis=0)
-    row_R = jnp.concatenate([gw_R, hw_R, c_R[None], pad], axis=0)
-    return df.from_mont(fr, jnp.stack([row_L, row_R]))
+    one = df.mont_one(fr, ())
+    return _round_scalars_mont(fr, a, b, gm, hm, one, m, curm1, M)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -115,8 +86,13 @@ def _fold(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, m, curm1):
 
 
 # L and R ride the batched-scalar-set mode of msm_impl: one program,
-# same graph size as a single MSM, 2x the window groups.
-_msm_pair = dmsm.msm_device
+# same graph size as a single MSM, 2x the window groups. When an engine
+# mesh is active the base-table axis shards across it (per-round L/R
+# partial points are the only cross-chip traffic, SURVEY.md §5).
+def _msm_pair(spec, c, X, Y, inf, scal):
+    from ..parallel.msm import msm_device_maybe_sharded
+
+    return msm_device_maybe_sharded(spec, c, X, Y, inf, scal)
 
 
 class IpaDeviceProver:
@@ -179,3 +155,158 @@ class IpaDeviceProver:
         a0 = limbs_to_int(np.asarray(self.a[0])) * Rinv % p
         b0 = limbs_to_int(np.asarray(self.b[0])) * Rinv % p
         return a0, b0
+
+
+# --- cross-proof batched prover (SURVEY.md hard-part #4) ----------------
+
+
+@partial(jax.jit, static_argnums=(0, 8))
+def _round_scalars_batch(fr: df.FieldSpec, A, Bv, GM, HM, QW, m, curm1,
+                         M: int):
+    """Vmapped `_round_scalars` over a leading proof axis, with the
+    per-proof Q-scalar factor QW folded into the c_L/c_R column.
+
+    A, Bv, GM, HM: (P, N, 16) Montgomery; QW: (P, 16) Montgomery (the
+    R1CS challenge w_b, since Q_b = w_b * B the base table stays shared
+    across proofs, reference src/r1cs/prover.rs:777-779).
+    Returns (P, 2, M, 16) canonical scalars.
+    """
+
+    def one(a, b, gm, hm, qw):
+        rows = _round_scalars_mont(fr, a, b, gm, hm, qw, m, curm1, M)
+        return rows
+
+    return jax.vmap(one)(A, Bv, GM, HM, QW)
+
+
+def _round_scalars_mont(fr, a, b, gm, hm, qw, m, curm1, M):
+    """Body shared with `_round_scalars`, with a Q-column factor."""
+    N = a.shape[0]
+    idx = jnp.arange(N, dtype=U32)
+    i = idx & curm1
+    right = i >= m
+    left = ~right
+    active = idx < m
+
+    up_idx = (i + m).astype(jnp.int32)
+    a_up = jnp.take(a, up_idx, axis=0, mode="clip")
+    b_up = jnp.take(b, up_idx, axis=0, mode="clip")
+    dn_idx = jnp.maximum(i.astype(jnp.int32) - m.astype(jnp.int32), 0)
+    a_dn = jnp.take(a, dn_idx, axis=0, mode="clip")
+    b_dn = jnp.take(b, dn_idx, axis=0, mode="clip")
+
+    prods = df.mont_mul(
+        fr,
+        jnp.stack([a_dn, b_up, a_up, b_dn, a, a_up]),
+        jnp.stack([gm, hm, gm, hm, b_up, b]),
+    )
+    gw_L = df.select(right, prods[0], jnp.zeros_like(prods[0]))
+    hw_L = df.select(left, prods[1], jnp.zeros_like(prods[1]))
+    gw_R = df.select(left, prods[2], jnp.zeros_like(prods[2]))
+    hw_R = df.select(right, prods[3], jnp.zeros_like(prods[3]))
+    zero = jnp.zeros_like(a)
+    c_L = df.sum_mod(fr, df.select(active, prods[4], zero))
+    c_R = df.sum_mod(fr, df.select(active, prods[5], zero))
+    c_LR = df.mont_mul(fr, jnp.stack([c_L, c_R]), jnp.stack([qw, qw]))
+
+    pad = jnp.zeros((M - 2 * N - 1, N_LIMBS), U32)
+    row_L = jnp.concatenate([gw_L, hw_L, c_LR[0][None], pad], axis=0)
+    row_R = jnp.concatenate([gw_R, hw_R, c_LR[1][None], pad], axis=0)
+    return df.from_mont(fr, jnp.stack([row_L, row_R]))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fold_batch(fr: df.FieldSpec, A, Bv, GM, HM, U, U_inv, m, curm1):
+    def one(a, b, gm, hm, u, u_inv):
+        return _fold.__wrapped__(fr, a, b, gm, hm, u, u_inv, m, curm1)
+
+    return jax.vmap(one)(A, Bv, GM, HM, U, U_inv)
+
+
+class IpaBatchProver:
+    """Device state for P proofs created in LOCKSTEP over one shared
+    base table [G | H | B].
+
+    The reference creates proofs one at a time (inner_product_proof.rs:
+    76-231), paying lg(n) sequential host syncs each; batching amortizes
+    every sync across P transcripts and turns each round's 2P MSMs into
+    ONE batched-scalar-set device MSM. Bit-identical proofs: the scalar
+    at the B column is c_L * w_b, and c_L * w_b * B == c_L * Q_b.
+    """
+
+    def __init__(self, curve, base_B, ws, G_vec, H_vec,
+                 G_factors_list, H_factors_list, a_list, b_list):
+        self.curve = curve
+        self.spec = dc.spec_for(curve)
+        self.fr = df.spec_for(curve.fr)
+        P = len(a_list)
+        N = len(G_vec)
+        self.P, self.N = P, N
+        self.M = dmsm._pad_pow2(2 * N + 1)
+        bases = list(G_vec) + list(H_vec) + [base_B]
+        bases += [None] * (self.M - len(bases))
+        X, Y, inf = dc.affine_to_device(curve, bases)
+        self.X = jax.device_put(X)
+        self.Y = jax.device_put(Y)
+        self.inf = jax.device_put(np.asarray(inf))
+        p, R = curve.fr.p, curve.fr.R
+
+        def mont2(rows):
+            flat = [x % p * R % p for row in rows for x in row]
+            return jax.device_put(
+                ints_to_limbs(flat).reshape(P, N, N_LIMBS)
+            )
+
+        self.A = mont2(a_list)
+        self.B = mont2(b_list)
+        self.GM = mont2(G_factors_list)
+        self.HM = mont2(H_factors_list)
+        self.QW = jax.device_put(
+            ints_to_limbs([w % p * R % p for w in ws])
+        )
+        self.c = dmsm._window_bits(self.M)
+
+    def round_commit(self, cur: int):
+        """[(L_b, R_b)] host affine points for the current round."""
+        m = jnp.uint32(cur // 2)
+        curm1 = jnp.uint32(cur - 1)
+        rows = _round_scalars_batch(
+            self.fr, self.A, self.B, self.GM, self.HM, self.QW,
+            m, curm1, self.M,
+        )  # (P, 2, M, 16)
+        scal = rows.reshape(2 * self.P, self.M, N_LIMBS)
+        pts = _msm_pair(self.spec, self.c, self.X, self.Y, self.inf, scal)
+        out = []
+        for b in range(self.P):
+            L = dc.jacobian_to_host(
+                self.curve, tuple(c[2 * b] for c in pts)
+            )
+            R = dc.jacobian_to_host(
+                self.curve, tuple(c[2 * b + 1] for c in pts)
+            )
+            out.append((L, R))
+        return out
+
+    def fold(self, cur: int, us: list[int], u_invs: list[int]):
+        p, R = self.curve.fr.p, self.curve.fr.R
+        U = jnp.asarray(ints_to_limbs([u % p * R % p for u in us]))
+        Ui = jnp.asarray(ints_to_limbs([u % p * R % p for u in u_invs]))
+        self.A, self.B, self.GM, self.HM = _fold_batch(
+            self.fr, self.A, self.B, self.GM, self.HM, U, Ui,
+            jnp.uint32(cur // 2), jnp.uint32(cur - 1),
+        )
+
+    def final_ab(self) -> list[tuple[int, int]]:
+        from .limbs import limbs_to_int
+
+        Rinv = self.curve.fr.R_inv
+        p = self.curve.fr.p
+        A = np.asarray(self.A[:, 0])
+        B = np.asarray(self.B[:, 0])
+        return [
+            (
+                limbs_to_int(A[b]) * Rinv % p,
+                limbs_to_int(B[b]) * Rinv % p,
+            )
+            for b in range(self.P)
+        ]

@@ -430,3 +430,276 @@ def sw_double_tiled(cs: CurveSpec, X1, Y1, Z1):
         interpret=_interpret(),
     )(X1.T, Y1.T, Z1.T)
     return tuple(o.T for o in outs)
+
+
+# ---------------------------------------------------------------------
+# Complete projective group law (Renes-Costello-Batina, EUROCRYPT 2016)
+# ---------------------------------------------------------------------
+# Homogeneous (X:Y:Z) coordinates on odd-order short-Weierstrass curves;
+# identity is (0:1:0) and the formulas are COMPLETE: no doubling branch,
+# no identity selects, valid for every input pair. Mixed add costs
+# 8M + 2 small-const muls for a=0 (vs 20M for the branch-free Jacobian
+# madd above, whose embedded double ran unconditionally).  These bodies
+# power the v2 MSM kernels (ops/kernels2.py); they replace the same
+# reference primitive (ark_ec group law, used by VariableBaseMSM).
+
+
+def _k_mul_small(fs: FieldSpec, x, k: int):
+    """x * k for a small positive constant k (double-and-add, exact)."""
+    assert k > 0
+    bits = bin(k)[2:]
+    acc = x
+    for bit in bits[1:]:
+        acc = _k_dbl(fs, acc)
+        if bit == "1":
+            acc = _k_add(fs, acc, x)
+    return acc
+
+
+def _k_mul_const(fs: FieldSpec, x, mont_limbs, small: int | None):
+    """x * const: cheap double-and-add when the plain constant is small,
+    else a full Montgomery product with the broadcast constant."""
+    if small is not None:
+        return _k_mul_small(fs, x, small)
+    c = [jnp.full_like(x[0], int(v)) for v in mont_limbs]
+    return _k_mont_mul(fs, x, c)
+
+
+def _k_b3(cs: CurveSpec):
+    return cs.b3_mont_limbs, cs.b3_small
+
+
+def _k_a(cs: CurveSpec):
+    return cs.a_mont_limbs, cs.a_small
+
+
+def _k_rcb_add(cs: CurveSpec, P, Q):
+    """Complete projective P + Q (RCB Alg 1 general a / Alg 7 for a=0)."""
+    fs = cs.fq
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    mul, add, sub = _k_mont_mul, _k_add, _k_sub
+    b3l, b3s = _k_b3(cs)
+
+    t0 = mul(fs, X1, X2)
+    t1 = mul(fs, Y1, Y2)
+    t2 = mul(fs, Z1, Z2)
+    t3 = mul(fs, add(fs, X1, Y1), add(fs, X2, Y2))
+    t3 = sub(fs, t3, add(fs, t0, t1))  # X1Y2 + X2Y1
+    t4 = mul(fs, add(fs, X1, Z1), add(fs, X2, Z2))
+    t4 = sub(fs, t4, add(fs, t0, t2))  # X1Z2 + X2Z1
+    t5 = mul(fs, add(fs, Y1, Z1), add(fs, Y2, Z2))
+    t5 = sub(fs, t5, add(fs, t1, t2))  # Y1Z2 + Y2Z1
+    if cs.is_a_zero:
+        # Alg 7
+        X3 = _k_mul_const(fs, t2, b3l, b3s)  # b3*Z1Z2
+        Z3 = add(fs, t1, X3)
+        t1 = sub(fs, t1, X3)
+        Y3 = _k_mul_const(fs, t4, b3l, b3s)  # b3*(X1Z2+X2Z1)
+        t0_3 = add(fs, add(fs, t0, t0), t0)  # 3*X1X2
+        X3 = mul(fs, t5, Y3)
+        t2 = mul(fs, t3, t1)
+        X3 = sub(fs, t2, X3)
+        Y3 = mul(fs, Y3, t0_3)
+        t1 = mul(fs, t1, Z3)
+        Y3 = add(fs, t1, Y3)
+        t0_3 = mul(fs, t0_3, t3)
+        Z3 = mul(fs, Z3, t5)
+        Z3 = add(fs, Z3, t0_3)
+        return X3, Y3, Z3
+    al, asm = _k_a(cs)
+    # Alg 1
+    Z3 = _k_mul_const(fs, t4, al, asm)  # a*t4
+    X3 = _k_mul_const(fs, t2, b3l, b3s)  # b3*t2
+    Z3 = add(fs, X3, Z3)
+    X3 = sub(fs, t1, Z3)
+    Z3 = add(fs, t1, Z3)
+    Y3 = mul(fs, X3, Z3)
+    t1 = add(fs, add(fs, t0, t0), t0)  # 3t0
+    t2 = _k_mul_const(fs, t2, al, asm)  # a*t2
+    t4 = _k_mul_const(fs, t4, b3l, b3s)  # b3*t4
+    t1 = add(fs, t1, t2)  # 3t0 + a*t2
+    t2 = sub(fs, t0, t2)
+    t2 = _k_mul_const(fs, t2, al, asm)
+    t4 = add(fs, t4, t2)
+    t0 = mul(fs, t1, t4)
+    Y3 = add(fs, Y3, t0)
+    t0 = mul(fs, t5, t4)
+    X3 = mul(fs, t3, X3)
+    X3 = sub(fs, X3, t0)
+    t0 = mul(fs, t3, t1)
+    Z3 = mul(fs, t5, Z3)
+    Z3 = add(fs, Z3, t0)
+    return X3, Y3, Z3
+
+
+def _k_rcb_madd(cs: CurveSpec, P, Qx, Qy, q_inf):
+    """Complete projective P + affine Q (RCB Alg 2 / Alg 8); q_inf lanes
+    pass P through (the affine encoding cannot express the identity)."""
+    fs = cs.fq
+    X1, Y1, Z1 = P
+    mul, add, sub = _k_mont_mul, _k_add, _k_sub
+    b3l, b3s = _k_b3(cs)
+
+    t0 = mul(fs, X1, Qx)
+    t1 = mul(fs, Y1, Qy)
+    t3 = mul(fs, add(fs, Qx, Qy), add(fs, X1, Y1))
+    t3 = sub(fs, t3, add(fs, t0, t1))  # X1Y2 + X2Y1
+    t4 = add(fs, mul(fs, Qx, Z1), X1)  # X1 + X2Z1
+    t5 = add(fs, mul(fs, Qy, Z1), Y1)  # Y1 + Y2Z1
+    if cs.is_a_zero:
+        # Alg 8
+        t0_3 = add(fs, add(fs, t0, t0), t0)  # 3*X1X2
+        t2 = _k_mul_const(fs, Z1, b3l, b3s)  # b3*Z1
+        Z3 = add(fs, t1, t2)
+        t1 = sub(fs, t1, t2)
+        Y3 = _k_mul_const(fs, t4, b3l, b3s)
+        X3 = mul(fs, t5, Y3)
+        t2 = mul(fs, t3, t1)
+        X3 = sub(fs, t2, X3)
+        Y3 = mul(fs, Y3, t0_3)
+        t1 = mul(fs, t1, Z3)
+        Y3 = add(fs, t1, Y3)
+        t0_3 = mul(fs, t0_3, t3)
+        Z3 = mul(fs, Z3, t5)
+        Z3 = add(fs, Z3, t0_3)
+    else:
+        al, asm = _k_a(cs)
+        # Alg 2
+        Z3 = _k_mul_const(fs, t4, al, asm)
+        X3 = _k_mul_const(fs, Z1, b3l, b3s)
+        Z3 = add(fs, X3, Z3)
+        X3 = sub(fs, t1, Z3)
+        Z3 = add(fs, t1, Z3)
+        Y3 = mul(fs, X3, Z3)
+        t1 = add(fs, add(fs, t0, t0), t0)
+        t2 = _k_mul_const(fs, Z1, al, asm)
+        t4 = _k_mul_const(fs, t4, b3l, b3s)
+        t1 = add(fs, t1, t2)
+        t2 = sub(fs, t0, t2)
+        t2 = _k_mul_const(fs, t2, al, asm)
+        t4 = add(fs, t4, t2)
+        t0 = mul(fs, t1, t4)
+        Y3 = add(fs, Y3, t0)
+        t0 = mul(fs, t5, t4)
+        X3 = mul(fs, t3, X3)
+        X3 = sub(fs, X3, t0)
+        t0 = mul(fs, t3, t1)
+        Z3 = mul(fs, t5, Z3)
+        Z3 = add(fs, Z3, t0)
+    X3 = _k_select(q_inf, X1, X3)
+    Y3 = _k_select(q_inf, Y1, Y3)
+    Z3 = _k_select(q_inf, Z1, Z3)
+    return X3, Y3, Z3
+
+
+def _k_rcb_double(cs: CurveSpec, X1, Y1, Z1):
+    """Complete projective doubling (RCB Alg 3 / Alg 9)."""
+    fs = cs.fq
+    mul, add, sub = _k_mont_mul, _k_add, _k_sub
+    b3l, b3s = _k_b3(cs)
+    if cs.is_a_zero:
+        # Alg 9
+        t0 = mul(fs, Y1, Y1)
+        Z3 = add(fs, t0, t0)
+        Z3 = add(fs, Z3, Z3)
+        Z3 = add(fs, Z3, Z3)  # 8Y^2
+        t1 = mul(fs, Y1, Z1)
+        t2 = mul(fs, Z1, Z1)
+        t2 = _k_mul_const(fs, t2, b3l, b3s)
+        X3 = mul(fs, t2, Z3)
+        Y3 = add(fs, t0, t2)
+        Z3 = mul(fs, t1, Z3)
+        t1 = add(fs, t2, t2)
+        t2 = add(fs, t1, t2)
+        t0 = sub(fs, t0, t2)
+        Y3 = mul(fs, t0, Y3)
+        Y3 = add(fs, X3, Y3)
+        t1 = mul(fs, X1, Y1)
+        X3 = mul(fs, t0, t1)
+        X3 = add(fs, X3, X3)
+        return X3, Y3, Z3
+    al, asm = _k_a(cs)
+    # Alg 3
+    t0 = mul(fs, X1, X1)
+    t1 = mul(fs, Y1, Y1)
+    t2 = mul(fs, Z1, Z1)
+    t3 = mul(fs, X1, Y1)
+    t3 = add(fs, t3, t3)
+    Z3 = mul(fs, X1, Z1)
+    Z3 = add(fs, Z3, Z3)
+    X3 = _k_mul_const(fs, Z3, al, asm)
+    Y3 = _k_mul_const(fs, t2, b3l, b3s)
+    Y3 = add(fs, X3, Y3)
+    X3 = sub(fs, t1, Y3)
+    Y3 = add(fs, t1, Y3)
+    Y3 = mul(fs, X3, Y3)
+    X3 = mul(fs, t3, X3)
+    Z3 = _k_mul_const(fs, Z3, b3l, b3s)
+    t2 = _k_mul_const(fs, t2, al, asm)
+    t3 = sub(fs, t0, t2)
+    t3 = _k_mul_const(fs, t3, al, asm)
+    t3 = add(fs, t3, Z3)
+    Z3 = add(fs, t0, t0)
+    t0 = add(fs, Z3, t0)
+    t0 = add(fs, t0, t2)
+    t0 = mul(fs, t0, t3)
+    Y3 = add(fs, Y3, t0)
+    t2 = mul(fs, Y1, Z1)
+    t2 = add(fs, t2, t2)
+    t0 = mul(fs, t2, t3)
+    X3 = sub(fs, X3, t0)
+    Z3 = mul(fs, t2, t1)
+    Z3 = add(fs, Z3, Z3)
+    Z3 = add(fs, Z3, Z3)
+    return X3, Y3, Z3
+
+
+@partial(jax.jit, static_argnums=(0,))
+def rcb_add_tiled(cs: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
+    """Pallas complete projective addition on (m, 16) arrays (RCB)."""
+    m = X1.shape[0]
+
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        P = (_read(x1), _read(y1), _read(z1))
+        Q = (_read(x2), _read(y2), _read(z2))
+        X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(m // BLOCK,),
+        in_specs=_grid_specs(6),
+        out_specs=tuple(_grid_specs(3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NL, m), jnp.uint32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(X1.T, Y1.T, Z1.T, X2.T, Y2.T, Z2.T)
+    return tuple(o.T for o in outs)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def rcb_double_tiled(cs: CurveSpec, X1, Y1, Z1):
+    """Pallas complete projective doubling on (m, 16) arrays (RCB)."""
+    m = X1.shape[0]
+
+    def kern(x1, y1, z1, ox, oy, oz):
+        X3, Y3, Z3 = _k_rcb_double(cs, _read(x1), _read(y1), _read(z1))
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(m // BLOCK,),
+        in_specs=_grid_specs(3),
+        out_specs=tuple(_grid_specs(3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NL, m), jnp.uint32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(X1.T, Y1.T, Z1.T)
+    return tuple(o.T for o in outs)

@@ -17,7 +17,10 @@ a whole phase and the group law is instantiated once per kernel:
       launch (the final window recombination).
 
 All kernels take limb-major (rows, 16, lanes) uint32 arrays with
-lanes % BLOCK == 0; field/group bodies are shared with ops/kernels.py.
+lanes % BLOCK == 0. Points are homogeneous projective (X:Y:Z) with
+identity (0:1:0); group bodies are the COMPLETE Renes-Costello-Batina
+formulas from ops/kernels.py (no doubling branch, ~2x fewer muls than
+the branch-free Jacobian bodies).
 Replaces the bucket/window reduction of `ark_ec::VariableBaseMSM::msm`
 (reference src/inner_product_proof.rs:104, src/r1cs/verifier.rs:574).
 """
@@ -32,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .curve import CurveSpec
-from .kernels import _interpret, _k_sw_add, _k_sw_madd, _k_sw_double
+from .kernels import (
+    _interpret,
+    _k_rcb_add,
+    _k_rcb_madd,
+    _k_rcb_double,
+)
 from .limbs import N_LIMBS
 
 NL = N_LIMBS
@@ -66,9 +74,13 @@ def _wr_s(ref, limbs):
     ref[:] = jnp.stack(limbs)
 
 
-def _zero_scratch(*refs):
-    for r in refs:
-        r[:] = jnp.zeros_like(r)
+def _init_identity(cs, ax, ay, az):
+    """Scratch accumulators <- projective identity (0 : 1 : 0)."""
+    ax[:] = jnp.zeros_like(ax)
+    ay[:] = jnp.stack(
+        [jnp.full_like(ay[0], int(v)) for v in cs.fq.r_limbs]
+    )
+    az[:] = jnp.zeros_like(az)
 
 
 @partial(jax.jit, static_argnums=(0, 4))
@@ -88,11 +100,11 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, cI, block: int = BLOCK):
 
         @pl.when(r == 0)
         def _():
-            _zero_scratch(ax, ay, az)
+            _init_identity(cs, ax, ay, az)
 
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
         qi = i_ref[0, 0] > 0
-        X3, Y3, Z3 = _k_sw_madd(cs, P, _rd(x_ref), _rd(y_ref), qi)
+        X3, Y3, Z3 = _k_rcb_madd(cs, P, _rd(x_ref), _rd(y_ref), qi)
         _wr_s(ax, X3)
         _wr_s(ay, Y3)
         _wr_s(az, Z3)
@@ -137,7 +149,7 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512):
 
         @pl.when(r == 0)
         def _():
-            _zero_scratch(ax, ay, az)
+            _init_identity(cs, ax, ay, az)
 
         # exclusive: write the carry BEFORE accumulating this row
         ex[0] = ax[:]
@@ -145,7 +157,7 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512):
         ez[0] = az[:]
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
         Q = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
-        X3, Y3, Z3 = _k_sw_add(cs, P, Q)
+        X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
         _wr_s(ax, X3)
         _wr_s(ay, Y3)
         _wr_s(az, Z3)
@@ -188,11 +200,11 @@ def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512):
 
         @pl.when(r == 0)
         def _():
-            _zero_scratch(ax, ay, az)
+            _init_identity(cs, ax, ay, az)
 
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
         Q = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
-        X3, Y3, Z3 = _k_sw_add(cs, P, Q)
+        X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
         _wr_s(ax, X3)
         _wr_s(ay, Y3)
         _wr_s(az, Z3)
@@ -236,13 +248,13 @@ def horner_windows(cs: CurveSpec, pX, pY, pZ, c: int, block: int = 128):
 
         @pl.when(r == 0)
         def _():
-            _zero_scratch(ax, ay, az)
+            _init_identity(cs, ax, ay, az)
 
         P = [_rd_s(ax), _rd_s(ay), _rd_s(az)]
         for _i in range(c):
-            P = list(_k_sw_double(cs, *P))
+            P = list(_k_rcb_double(cs, *P))
         Q = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
-        X3, Y3, Z3 = _k_sw_add(cs, tuple(P), Q)
+        X3, Y3, Z3 = _k_rcb_add(cs, tuple(P), Q)
         _wr_s(ax, X3)
         _wr_s(ay, Y3)
         _wr_s(az, Z3)

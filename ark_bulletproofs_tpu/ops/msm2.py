@@ -33,6 +33,7 @@ import numpy as np
 
 from . import curve as dc
 from . import kernels2 as k2
+from . import proj as dpj
 from .limbs import N_LIMBS
 
 U32 = jnp.uint32
@@ -93,7 +94,7 @@ def _digits_all(scal, c: int, W: int):
 
 
 def _excl_suffix_small(spec, P, m: int):
-    """Exclusive suffix over axis -2 of (..., m, 16) points (m tiny)."""
+    """Exclusive suffix over axis -2 of (..., m, 16) proj points (m tiny)."""
     steps = _log2(m)
     idx = jnp.arange(m, dtype=jnp.int32)
     x = P
@@ -103,19 +104,21 @@ def _excl_suffix_small(spec, P, m: int):
             lambda a: jnp.take(a, jnp.minimum(idx + sh, m - 1), axis=-2), x
         )
         good = jnp.broadcast_to((idx + sh < m)[None, :], part[0].shape[:-1])
-        part = dc.select(good, part, dc.point_zero(spec, part[0].shape[:-1]))
-        x = dc.add(spec, x, part)
+        part = dpj.select(good, part, dpj.point_zero(spec, part[0].shape[:-1]))
+        x = dpj.add(spec, x, part)
     # inclusive -> exclusive shift
     part = _tmap(lambda a: jnp.take(a, jnp.minimum(idx + 1, m - 1), axis=-2), x)
     good = jnp.broadcast_to((idx + 1 < m)[None, :], part[0].shape[:-1])
-    return dc.select(good, part, dc.point_zero(spec, part[0].shape[:-1]))
+    return dpj.select(good, part, dpj.point_zero(spec, part[0].shape[:-1]))
 
 
 def msm2_impl(spec, c: int, X, Y, inf, scal):
     """v2 Pippenger. X, Y: (n, 16) affine Montgomery limbs; inf: (n,)
     bool; scal: (n, 16) or (B, n, 16) canonical scalar limbs. n must be
-    a power of two >= C_COLS. Returns a Jacobian point: coords (16,) for
-    one scalar set, (B, 16) for a batch."""
+    a power of two >= C_COLS. Returns a projective point: coords (16,) for
+    one scalar set, (B, 16) for a batch. Points are homogeneous
+    projective (RCB complete formulas) end to end; convert with
+    ops/proj.py::point_to_host."""
     n = X.shape[0]
     lg = _log2(n)
     assert n == 1 << lg and n >= C_COLS
@@ -173,7 +176,7 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
         ),
         ce,
     )
-    excl_col = dc.add(spec, e2, ceb)  # (BW, C) points
+    excl_col = dpj.add(spec, e2, ceb)  # (BW, C) points
 
     # --- 5: bucket reduction via searchsorted-telescoping -----------
     js = jnp.arange(S, dtype=U32)
@@ -187,10 +190,11 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
     EC = _tmap(
         lambda a: a[jnp.arange(BW)[:, None], colj], excl_col
     )  # (BW, S, NL)
-    zero = jnp.zeros((), U32)
-    T1 = _tmap(lambda a: jnp.where(valid[..., None], a, zero), T1)
-    EC = _tmap(lambda a: jnp.where(valid[..., None], a, zero), EC)
-    U = dc.add(spec, T1, EC)  # (BW, S) points
+    # invalid slots -> projective identity (0 : 1 : 0), NOT all-zero
+    ident = dpj.point_zero(spec, valid.shape)
+    T1 = dpj.select(valid, T1, ident)
+    EC = dpj.select(valid, EC, ident)
+    U = dpj.add(spec, T1, EC)  # (BW, S) points
 
     # two-pass row-sum collapse S -> 1 per window
     K1 = 16 if S <= 1024 else 64

@@ -69,7 +69,7 @@ def _s_vector(fr, u_sq, allinv, n: int, lg_n: int):
     return v
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 13))
+@partial(jax.jit, static_argnums=(0, 1, 2, 14))
 def _gh_scalars(fr, padded_n: int, lg_n: int,
                 wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1,
                 mont_out: bool = False):

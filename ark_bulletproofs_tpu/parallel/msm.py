@@ -156,3 +156,77 @@ def msm_sharded_serial(curve, bases: list, scalars: list[int], mesh: Mesh):
     fn = _jitted("serial", spec, mesh)
     out = fn(X, Y, inf, scal)
     return dc.jacobian_to_host(curve, out)
+
+
+# --- device-array variant (mega-MSM sharding for verify/batch_verify) ---
+
+
+def _local_partial_arrays(spec, c, X, Y, inf, scal):
+    part = dmsm.msm_impl(spec, c, X, Y, inf, scal, axis_name=DATA_AXIS)
+    return tuple(coord[None] for coord in part)  # (1, [B,] 16) per device
+
+
+def sharded_msm_device_fn(spec: dc.CurveSpec, c: int, mesh: Mesh):
+    """Jittable (X, Y, inf, scal) -> device Jacobian point(s).
+
+    Same contract as ops/msm.py::msm_device but sharded: the base-point
+    axis is split across the mesh, every device runs the full Pippenger
+    on its shard (group addition commutes, so bucket accumulation over a
+    point subset is a partial sum), and the per-device partials are
+    tree-added outside the sharded region. `scal` may be (n, 16) or
+    (B, n, 16); the n axis is sharded either way.
+    """
+    local = jax.shard_map(
+        partial(_local_partial_arrays, spec, c),
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+        ),
+        out_specs=(P(DATA_AXIS),) * 3,
+    )
+
+    def fn(X, Y, inf, scal):
+        return _reduce_partials(spec, local(X, Y, inf, scal))
+
+    def fn_batched(X, Y, inf, scal):
+        local_b = jax.shard_map(
+            partial(_local_partial_arrays, spec, c),
+            mesh=mesh,
+            in_specs=(
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(None, DATA_AXIS),
+            ),
+            out_specs=(P(DATA_AXIS),) * 3,
+        )
+        return _reduce_partials(spec, local_b(X, Y, inf, scal))
+
+    return fn, fn_batched
+
+
+def msm_device_maybe_sharded(spec, c, X, Y, inf, scal):
+    """Drop-in for ops/msm.py::msm_device that shards across the engine's
+    active mesh when one is configured and the shape divides evenly."""
+    from .. import engine
+
+    import os
+
+    mesh = engine.active_mesh()
+    n = X.shape[0]
+    if mesh is not None:
+        D = mesh.devices.size
+        min_shard = int(os.environ.get("ABTPU_SHARD_MIN", "256"))
+        if D > 1 and n % D == 0 and (n // D) >= min_shard:
+            c_loc = dmsm._window_bits(n // D)
+            key = ("arrays", spec, mesh, c_loc, scal.ndim)
+            fns = _JIT_CACHE.get(key)
+            if fns is None:
+                pair = sharded_msm_device_fn(spec, c_loc, mesh)
+                fns = (jax.jit(pair[0]), jax.jit(pair[1]))
+                _JIT_CACHE[key] = fns
+            return fns[1 if scal.ndim == 3 else 0](X, Y, inf, scal)
+    return dmsm.msm_device(spec, c, X, Y, inf, scal)

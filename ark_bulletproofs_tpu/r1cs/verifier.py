@@ -391,7 +391,9 @@ class Verifier(RandomizableConstraintSystem):
         )
         spec = dc.spec_for(curve)
         c = dmsm._window_bits(M)
-        out = dmsm.msm_device(spec, c, X, Y, inf, scal)
+        from ..parallel.msm import msm_device_maybe_sharded
+
+        out = msm_device_maybe_sharded(spec, c, X, Y, inf, scal)
         host_pt = dc.point_to_host(curve, out)
         if not curve.is_zero(host_pt):
             raise R1CSVerificationError("mega-MSM check failed")
@@ -578,7 +580,9 @@ def _batch_verify_device(
     )
     spec = dc.spec_for(curve)
     c = dmsm._window_bits(M)
-    out = dmsm.msm_device(spec, c, X, Y, inf, scal)
+    from ..parallel.msm import msm_device_maybe_sharded
+
+    out = msm_device_maybe_sharded(spec, c, X, Y, inf, scal)
     host_pt = dc.point_to_host(curve, out)
     if not curve.is_zero(host_pt):
         raise R1CSVerificationError("batch verification failed")

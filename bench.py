@@ -7,29 +7,63 @@ no numbers — BASELINE.md — so the denominator is the commonly measured
 ~8e5 points/s for ark-ec 0.4 Fp256 MSM on one modern x86 core, recorded
 here as a fixed constant so rounds stay comparable).
 
-The run self-checks: the device result is compared against the exact
-host Pippenger on the same inputs before any timing is reported.
+Inputs are FULLY random: distinct generator-chain points (the same
+SHA3/ChaCha chain the protocol uses) and unique uniform scalars — no
+repeated points/scalars that would compress the sort or hit doubling
+fast paths. Points are cached in benches/.bench_points_*.npz after the
+first run. The run self-checks the device result against the exact host
+Pippenger before any timing is reported.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-# Fixed reference denominator (see module docstring).
 REFERENCE_CPU_MSM_PPS = 800_000.0
+CACHE = os.path.join(os.path.dirname(__file__), "benches")
+
+
+def _points(curve, n):
+    """n distinct random points (disk-cached affine ints)."""
+    import numpy as np
+
+    path = os.path.join(CACHE, f".bench_points_{curve.name}_{n}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        xs, ys = d["xs"], d["ys"]
+        return [
+            (int.from_bytes(x.tobytes(), "little"),
+             int.from_bytes(y.tobytes(), "little"))
+            for x, y in zip(xs, ys)
+        ]
+    from ark_bulletproofs_tpu.generators import GeneratorsChain
+
+    pts = GeneratorsChain(curve, b"bench").take(n)
+    xs = np.stack(
+        [np.frombuffer(P[0].to_bytes(32, "little"), np.uint8) for P in pts]
+    )
+    ys = np.stack(
+        [np.frombuffer(P[1].to_bytes(32, "little"), np.uint8) for P in pts]
+    )
+    os.makedirs(CACHE, exist_ok=True)
+    np.savez_compressed(path, xs=xs, ys=ys)
+    return pts
 
 
 def main() -> None:
+    import random
+
     import numpy as np
 
     import jax
 
     from ark_bulletproofs_tpu import curves
-    from ark_bulletproofs_tpu.hashes.chacha import ChaChaRng
     from ark_bulletproofs_tpu.ops import curve as dc
     from ark_bulletproofs_tpu.ops import msm as dmsm
+    from ark_bulletproofs_tpu.ops import msm2, proj as dpj
     from ark_bulletproofs_tpu.ops.limbs import ints_to_limbs
 
     curve = curves.secq256k1
@@ -38,13 +72,10 @@ def main() -> None:
     platform = jax.devices()[0].platform
     log_n = 16 if platform != "cpu" else 10
     n = 1 << log_n
-    c = dmsm._window_bits(n)
 
-    rng = ChaChaRng(bytes([5]) + bytes(31))
-    base_pts = [curve.rand(rng) for _ in range(64)]
-    pts = [base_pts[i % 64] for i in range(n)]
-    ks_base = [curve.fr.rand(rng) for _ in range(4096)]
-    ks = [ks_base[i % 4096] for i in range(n)]
+    pts = _points(curve, n)
+    prng = random.Random(2024)
+    ks = [prng.randrange(curve.fr.p) for _ in range(n)]
 
     X, Y, inf = dc.affine_to_device(curve, pts)
     scal = ints_to_limbs(ks)
@@ -54,10 +85,20 @@ def main() -> None:
         jax.device_put(np.asarray(a)) for a in (X, Y, inf, scal)
     )
 
+    use_v2 = platform != "cpu"
+    if use_v2:
+        c = msm2.window_bits(n)
+        run = lambda: msm2.msm2_device(spec, c, X, Y, inf, scal)  # noqa: E731
+        to_host = dpj.point_to_host
+    else:
+        c = dmsm._window_bits(n)
+        run = lambda: dmsm.msm_device(spec, c, X, Y, inf, scal)  # noqa: E731
+        to_host = dc.point_to_host
+
     # compile + self-check against the exact host Pippenger
-    out = dmsm.msm_device(spec, c, X, Y, inf, scal)
+    out = run()
     jax.block_until_ready(out)
-    got = dc.point_to_host(curve, out)
+    got = to_host(curve, out)
     want = curve.msm(pts, ks)
     if got != want:
         print(
@@ -73,11 +114,13 @@ def main() -> None:
         )
         sys.exit(1)
 
-    iters = 3
+    iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = dmsm.msm_device(spec, c, X, Y, inf, scal)
-        jax.block_until_ready(out)
+        out = run()
+    # force completion with a tiny host fetch (the tunnel's
+    # block_until_ready can return before execution finishes)
+    jax.device_get(out[0].ravel()[0] if hasattr(out[0], "ravel") else out[0])
     dt = (time.perf_counter() - t0) / iters
 
     pps = n / dt

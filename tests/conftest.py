@@ -14,9 +14,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The 256-bit group-law subgraphs take ~30 s each through XLA:CPU's
+# fusion pass vs ~8 s without it (measured); the suite is correctness-
+# bound, not perf-bound, so trade runtime for a ~4x faster compile.
+if "xla_disable_hlo_passes" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

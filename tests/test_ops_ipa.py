@@ -63,3 +63,48 @@ def test_ipa_device_matches_host(monkeypatch):
     # and the device-produced proof verifies
     t = Transcript(b"ipadevtest")
     dev_proof.verify(n, t, C, Gf, Hf, P, Q, G, H)
+
+
+@pytest.mark.heavy
+def test_ipa_batch_matches_host(monkeypatch):
+    """create_batch: P lockstep proofs bit-identical to serial creation
+    with Q_b = w_b * B (the R1CS shape, prover.rs:777-779)."""
+    import random
+
+    n = 32
+    P = 3
+    G, H, _Q, _a, _b, Gf, Hf, _P = make_instance(n)
+    rng = random.Random(44)
+    base_B = C.gen
+    ws, a_l, b_l, Gf_l, Hf_l = [], [], [], [], []
+    for _ in range(P):
+        ws.append(rng.randrange(C.fr.p))
+        a_l.append([rng.randrange(C.fr.p) for _ in range(n)])
+        b_l.append([rng.randrange(C.fr.p) for _ in range(n)])
+        Gf_l.append(list(Gf))
+        Hf_l.append([rng.randrange(C.fr.p) for _ in range(n)])
+
+    monkeypatch.setattr(engine.config, "backend", "host")
+    host_proofs = []
+    for bi in range(P):
+        t = Transcript(b"ipabatch" + bytes([bi]))
+        Qb = C.mul(base_B, ws[bi])
+        host_proofs.append(
+            InnerProductProof.create(
+                t, C, Qb, Gf_l[bi], Hf_l[bi], list(G), list(H),
+                a_l[bi], b_l[bi],
+            )
+        )
+
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    ts = [Transcript(b"ipabatch" + bytes([bi])) for bi in range(P)]
+    dev_proofs = InnerProductProof.create_batch(
+        ts, C, base_B, ws, Gf_l, Hf_l, list(G), list(H), a_l, b_l
+    )
+    monkeypatch.setattr(engine.config, "backend", "host")
+
+    for hp, dp in zip(host_proofs, dev_proofs):
+        assert dp.L_vec == hp.L_vec
+        assert dp.R_vec == hp.R_vec
+        assert dp.a == hp.a
+        assert dp.b == hp.b

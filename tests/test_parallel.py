@@ -70,3 +70,154 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+# --- mesh-sharded protocol paths (round 2) ---------------------------------
+
+
+@pytest.fixture
+def engine_mesh():
+    """Engine configured with an 8-device mesh + low shard/device floors,
+    restored afterwards."""
+    import os
+
+    from ark_bulletproofs_tpu import engine
+
+    old_backend = engine.config.backend
+    old_thresh = engine.config.msm_device_threshold
+    old_min = os.environ.get("ABTPU_SHARD_MIN")
+    engine.config.backend = "jax"
+    engine.config.msm_device_threshold = 64
+    os.environ["ABTPU_SHARD_MIN"] = "32"
+    mesh = make_mesh(8)
+    engine.set_mesh(mesh)
+    yield mesh
+    engine.set_mesh(None)
+    engine.config.backend = old_backend
+    engine.config.msm_device_threshold = old_thresh
+    if old_min is None:
+        os.environ.pop("ABTPU_SHARD_MIN", None)
+    else:
+        os.environ["ABTPU_SHARD_MIN"] = old_min
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs an 8-device mesh")
+def test_sharded_msm_arrays_matches_host(engine_mesh):
+    """msm_device_maybe_sharded == host Pippenger (single + batched)."""
+    import numpy as np
+
+    from ark_bulletproofs_tpu.ops import curve as dc
+    from ark_bulletproofs_tpu.ops import msm as dmsm
+    from ark_bulletproofs_tpu.ops.limbs import ints_to_limbs
+    from ark_bulletproofs_tpu.parallel.msm import msm_device_maybe_sharded
+
+    curve, pts, ks = _inputs(512, seed=31)
+    r2 = random.Random(7)
+    ks2 = [r2.randrange(curve.fr.p) for _ in range(512)]
+    spec = dc.spec_for(curve)
+    X, Y, inf = dc.affine_to_device(curve, pts)
+    inf = np.asarray(inf)
+    c = dmsm._window_bits(512 // 8)
+    # single scalar set
+    out = msm_device_maybe_sharded(spec, c, X, Y, inf, ints_to_limbs(ks))
+    assert dc.point_to_host(curve, out) == curve.msm(pts, ks)
+    # batched scalar sets over the same (sharded) bases
+    scal2 = ints_to_limbs(ks + ks2).reshape(2, 512, 16)
+    outB = msm_device_maybe_sharded(spec, c, X, Y, inf, scal2)
+    got0 = dc.point_to_host(curve, tuple(a[0] for a in outB))
+    got1 = dc.point_to_host(curve, tuple(a[1] for a in outB))
+    assert got0 == curve.msm(pts, ks)
+    assert got1 == curve.msm(pts, ks2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs an 8-device mesh")
+def test_mesh_batch_verify(engine_mesh):
+    """batch_verify routes its mega-MSM through the sharded path
+    (reference verifier.rs:604-691 over a device mesh)."""
+    from ark_bulletproofs_tpu import engine
+    from ark_bulletproofs_tpu.gadgets import ShuffleProof
+    from ark_bulletproofs_tpu.generators import BulletproofGens, PedersenGens
+    from ark_bulletproofs_tpu.r1cs import batch_verify
+    from ark_bulletproofs_tpu.rand import seeded_rng
+    from ark_bulletproofs_tpu.transcript.merlin import Transcript
+
+    curve = curves.secq256k1
+    k = 128  # 2k multipliers -> padded_n = 256 >= device batch floor
+    pc_gens = PedersenGens.default(curve)
+    bp_gens = BulletproofGens(curve, 256, 1)
+
+    instances = []
+    engine.config.backend = "host"  # prove on the exact host path
+    try:
+        for i in range(2):
+            rng = seeded_rng(60 + i)
+            pyrng = random.Random(60 + i)
+            inputs = [pyrng.getrandbits(64) for _ in range(k)]
+            outputs = list(inputs)
+            pyrng.shuffle(outputs)
+            t = Transcript(b"mesh batch")
+            sp, ic, oc = ShuffleProof.prove(
+                rng, pc_gens, bp_gens, t, inputs, outputs
+            )
+            t = Transcript(b"mesh batch")
+            v = sp.build_verifier(pc_gens, t, ic, oc)
+            instances.append((v, sp.proof))
+    finally:
+        engine.config.backend = "jax"
+
+    batch_verify(seeded_rng(99), instances, pc_gens, bp_gens)
+
+    # any-invalid must fail: tamper with one proof scalar
+    import dataclasses
+
+    bad_proof = instances[1][1]
+    bad = dataclasses.replace(bad_proof, t_x=(bad_proof.t_x + 1) % curve.fr.p)
+    t = Transcript(b"mesh batch")
+    with pytest.raises(Exception):
+        batch_verify(
+            seeded_rng(99),
+            [instances[0], (instances[1][0], bad)],
+            pc_gens,
+            bp_gens,
+        )
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs an 8-device mesh")
+def test_mesh_ipa_device_matches_host(engine_mesh):
+    """Device IPA with its round MSMs sharded over the mesh produces
+    bit-identical proofs to the host path (SURVEY.md §5: sharded
+    length-n scaling; per-round cross-chip traffic is O(1) partials)."""
+    from ark_bulletproofs_tpu import engine
+    from ark_bulletproofs_tpu.curves import secq256k1 as C
+    from ark_bulletproofs_tpu.generators import BulletproofGens
+    from ark_bulletproofs_tpu.ipp import InnerProductProof
+    from ark_bulletproofs_tpu.transcript.merlin import Transcript
+    from ark_bulletproofs_tpu.util import exp_vec
+
+    n = 256  # M = pad(2n+1) = 1024 -> 128/shard on 8 devices
+    bp = BulletproofGens(C, n, 1)
+    G = bp.share(0).G(n)
+    H = bp.share(0).H(n)
+    rng = random.Random(12)
+    f = C.fr
+    Q = C.mul(C.gen, rng.randrange(f.p))
+    a = [rng.randrange(f.p) for _ in range(n)]
+    b = [rng.randrange(f.p) for _ in range(n)]
+    Gf = [1] * n
+    Hf = exp_vec(f, rng.randrange(f.p), n)
+
+    engine.config.backend = "host"
+    t = Transcript(b"mesh ipa")
+    host_proof = InnerProductProof.create(
+        t, C, Q, Gf, Hf, list(G), list(H), list(a), list(b)
+    )
+    engine.config.backend = "jax"
+    t = Transcript(b"mesh ipa")
+    dev_proof = InnerProductProof.create(
+        t, C, Q, Gf, Hf, list(G), list(H), list(a), list(b)
+    )
+    assert dev_proof.L_vec == host_proof.L_vec
+    assert dev_proof.R_vec == host_proof.R_vec
+    assert dev_proof.a == host_proof.a
+    assert dev_proof.b == host_proof.b
