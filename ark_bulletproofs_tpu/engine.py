@@ -86,3 +86,13 @@ def active_mesh():
 
                 _mesh = make_mesh()
     return _mesh
+
+
+def msm_many(curve, bases: list, scalar_sets: list[list[int]]):
+    """B MSMs over shared bases; one batched device program when the
+    device path is active, else exact host Pippenger per set."""
+    if scalar_sets and use_device(len(bases), curve):
+        from .ops import msm as device_msm
+
+        return device_msm.msm_many(curve, bases, scalar_sets)
+    return [curve.msm(bases, ks) for ks in scalar_sets]

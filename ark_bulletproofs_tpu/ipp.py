@@ -222,13 +222,25 @@ class InnerProductProof:
         (SURVEY.md hard-part #4). Each proof is bit-identical to the one
         `create` would produce against the same transcript.
         """
-        from .ops.ipa import IpaBatchProver
-
         f = curve.fr
         n = len(G_vec)
         P = len(a_list)
         assert P == len(transcripts) == len(ws)
         assert n >= 1 and (n & (n - 1)) == 0
+
+        if not (n >= 64 and engine.use_device(2 * n + 1, curve)):
+            # tiny instances: serial host path (bit-identical; the
+            # device lockstep only pays off at device-MSM sizes)
+            return [
+                cls.create(
+                    transcripts[b], curve, curve.mul(base_B, ws[b]),
+                    G_factors_list[b], H_factors_list[b],
+                    list(G_vec), list(H_vec), a_list[b], b_list[b],
+                )
+                for b in range(P)
+            ]
+
+        from .ops.ipa import IpaBatchProver
 
         for t in transcripts:
             protocol.innerproduct_domain_sep(t, n)

@@ -83,19 +83,25 @@ def _init_identity(cs, ax, ay, az):
     az[:] = jnp.zeros_like(az)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def suffix_madd_scan(cs: CurveSpec, cX, cY, cI, block: int = BLOCK):
+@partial(jax.jit, static_argnums=(0, 2))
+def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK):
     """Per-column inclusive suffix sums of affine points.
 
-    cX, cY: (R, NL, L) sorted affine coords; cI: (R, 1, L) uint32
-    infinity mask. Returns locals (R, NL, L) x 3 Jacobian coords where
-    locals[r, :, l] = sum_{r' >= r} P[r', l]  (identity-initialized,
-    scanned from the last row upward). locals[0] are the column totals.
+    cXY: (R, L, 2*NL) gathered point rows — x limbs then y limbs packed
+    per point with limbs on the LAST axis, so the caller's sorted-point
+    gather is a plain 128-byte-row gather with NO layout pass (the
+    limb-major transpose happens in-register inside the kernel).
+    Identity rows are encoded as y = 0 (no valid point on an odd-order
+    SW curve has y = 0). Returns locals (R, NL, L) x 3 projective
+    coords where locals[r, :, l] = sum_{r' >= r} P[r', l]
+    (identity-initialized, scanned from the last row upward); locals[0]
+    are the column totals.
     """
-    R, _, L = cX.shape
-    assert L % block == 0 and block % 128 == 0 and cI.shape == (R, 1, L)
+    R, L, two_nl = cXY.shape
+    assert two_nl == 2 * NL
+    assert L % block == 0 and block % 128 == 0
 
-    def kern(x_ref, y_ref, i_ref, lx, ly, lz, ax, ay, az):
+    def kern(xy_ref, lx, ly, lz, ax, ay, az):
         r = pl.program_id(1)
 
         @pl.when(r == 0)
@@ -103,8 +109,13 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, cI, block: int = BLOCK):
             _init_identity(cs, ax, ay, az)
 
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
-        qi = i_ref[0, 0] > 0
-        X3, Y3, Z3 = _k_rcb_madd(cs, P, _rd(x_ref), _rd(y_ref), qi)
+        xyT = xy_ref[0].T  # (2*NL, block) in-register transpose
+        qx = [xyT[i] for i in range(NL)]
+        qy = [xyT[NL + i] for i in range(NL)]
+        qi = qy[0]
+        for i in range(1, NL):
+            qi = qi | qy[i]
+        X3, Y3, Z3 = _k_rcb_madd(cs, P, qx, qy, qi == 0)
         _wr_s(ax, X3)
         _wr_s(ay, Y3)
         _wr_s(az, Z3)
@@ -116,14 +127,14 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, cI, block: int = BLOCK):
         (1, NL, block), lambda i, r: (R - 1 - r, 0, i),
         memory_space=pltpu.VMEM,
     )
-    ispec = pl.BlockSpec(
-        (1, 1, block), lambda i, r: (R - 1 - r, 0, i),
+    xy_spec = pl.BlockSpec(
+        (1, block, 2 * NL), lambda i, r: (R - 1 - r, i, 0),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         kern,
         grid=(L // block, R),
-        in_specs=[spec, spec, ispec],
+        in_specs=[xy_spec],
         out_specs=(spec, spec, spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((R, NL, L), jnp.uint32) for _ in range(3)
@@ -131,7 +142,7 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, cI, block: int = BLOCK):
         scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(cX, cY, cI)
+    )(cXY)
 
 
 @partial(jax.jit, static_argnums=(0, 4))

@@ -286,9 +286,69 @@ def msm(curve, bases: list, scalars: list[int]):
 
     X, Y, inf = dc.affine_to_device(curve, pts)
     scal = ints_to_limbs(ks)
+    import jax
+
+    if (
+        m >= 1024
+        and not dc.is_te(spec)
+        and jax.devices()[0].platform != "cpu"
+    ):
+        # large TPU sizes: the fused mega-kernel Pippenger (ops/msm2.py)
+        from . import msm2
+        from . import proj as dpj
+
+        c2 = msm2.window_bits(m)
+        out = msm2.msm2_device(spec, c2, X, Y, np.asarray(inf), scal)
+        return dpj.point_to_host(curve, out)
     c = _window_bits(m)
     out = msm_device(spec, c, X, Y, np.asarray(inf), scal)
     return dc.point_to_host(curve, out)
 
 
 jacobian_to_host = dc.point_to_host  # legacy alias for external callers
+
+
+def msm_many(curve, bases: list, scalar_sets: list[list[int]]):
+    """B MSMs over SHARED bases in one device program (batched
+    scalar-set mode). Returns a list of affine points, one per set.
+
+    Replaces B sequential `VariableBaseMSM::msm` calls with identical
+    bases (e.g. the prover's phase-1 A_I/A_O/S commitments across a
+    proof batch, reference src/r1cs/prover.rs:516-559)."""
+    n = len(bases)
+    if n == 0 or not scalar_sets:
+        return [curve.zero() for _ in scalar_sets]
+    spec = dc.spec_for(curve)
+    m = _pad_pow2(n)
+    fr_p = curve.fr.p
+    B = len(scalar_sets)
+    flat: list[int] = []
+    for ks in scalar_sets:
+        assert len(ks) == n
+        flat.extend(s % fr_p for s in ks)
+        flat.extend([0] * (m - n))
+    pts = list(bases) + [None] * (m - n)
+
+    X, Y, inf = dc.affine_to_device(curve, pts)
+    scal = ints_to_limbs(flat).reshape(B, m, 16)
+    import jax
+
+    if (
+        m >= 1024
+        and not dc.is_te(spec)
+        and jax.devices()[0].platform != "cpu"
+    ):
+        from . import msm2
+        from . import proj as dpj
+
+        c2 = msm2.window_bits(m)
+        out = msm2.msm2_device(spec, c2, X, Y, np.asarray(inf), scal)
+        return [
+            dpj.point_to_host(curve, tuple(a[b] for a in out))
+            for b in range(B)
+        ]
+    c = _window_bits(m)
+    out = msm_device(spec, c, X, Y, np.asarray(inf), scal)
+    return [
+        dc.point_to_host(curve, tuple(a[b] for a in out)) for b in range(B)
+    ]

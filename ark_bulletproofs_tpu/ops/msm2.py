@@ -140,12 +140,14 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
     sd = keys >> lg  # (BW, n) sorted digits
 
     # --- 3: gather sorted points, column suffix scan ----------------
-    # sorted flat index i = col*R + r; lane layout l = row*C + col
+    # sorted flat index i = col*R + r; lane layout l = row*C + col.
+    # x||y packed per point: ONE 128-byte-row gather, no layout pass
+    # (the kernel transposes in-register); identity rows carry y = 0.
+    XY = jnp.concatenate([X, Y], axis=1)  # (n, 32)
+    XY = jnp.where(inf[:, None], jnp.zeros_like(XY), XY)
     ord_r = order.reshape(BW, C, R).transpose(2, 0, 1).reshape(R, L)
-    gx = X[ord_r].transpose(0, 2, 1)  # (R, NL, L)
-    gy = Y[ord_r].transpose(0, 2, 1)
-    gi = inf[ord_r].astype(U32)[:, None, :]  # (R, 1, L)
-    lX, lY, lZ = k2.suffix_madd_scan(spec, gx, gy, gi)
+    gxy = XY[ord_r]  # (R, L, 2*NL)
+    lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
     tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
 
     # --- 4: two-level exclusive column-carry suffix -----------------

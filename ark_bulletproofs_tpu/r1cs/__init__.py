@@ -7,7 +7,7 @@ from .constraint_system import (
 )
 from .linear_combination import LinearCombination, Variable
 from .proof import R1CSProof
-from .prover import Prover, RandomizingProver
+from .prover import Prover, prove_batch, RandomizingProver
 from .verifier import RandomizingVerifier, Verifier, batch_verify
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "Variable",
     "R1CSProof",
     "Prover",
+    "prove_batch",
     "RandomizingProver",
     "Verifier",
     "RandomizingVerifier",

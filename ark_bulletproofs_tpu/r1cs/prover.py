@@ -423,3 +423,213 @@ class RandomizingProver(RandomizedConstraintSystem):
         return protocol.challenge_scalar(
             self.prover._transcript, self.prover.curve, label
         )
+
+
+def prove_batch(provers: list, prngs: list, bp_gens: BulletproofGens):
+    """Create proofs for P same-shape constraint systems in LOCKSTEP.
+
+    The reference proves one at a time (src/r1cs/prover.rs:444); batching
+    runs the protocol phases across all P provers together so that
+
+      * the three phase-1 commitment MSMs (prover.rs:516-559) and the
+        phase-2 MSMs become ONE batched-scalar-set device MSM each
+        (3P rows over the shared [B_blinding | G | H] table), and
+      * the IPA rides `InnerProductProof.create_batch` — one batched MSM
+        per round with the lg(n) Fiat-Shamir syncs amortized over P.
+
+    Every proof is bit-identical to `provers[b].prove(prngs[b], bp_gens)`
+    because per-proof transcripts/RNGs are independent and the phase
+    order within each proof is unchanged. Requires all provers to share
+    the circuit shape (equal n1 and, after phase 2, equal n).
+    """
+    P = len(provers)
+    assert P == len(prngs) and P > 0
+    curve = provers[0].curve
+    fr = curve.fr
+    p = fr.p
+
+    rngs, states = [], []
+    for prover, prng in zip(provers, prngs):
+        t = prover._transcript
+        t.append_u64(b"m", len(prover.v))
+        builder = t.build_rng()
+        for v_b in prover.v_blinding:
+            builder = builder.rekey_with_witness_bytes(
+                b"v_blinding", fr.to_bytes(v_b)
+            )
+        rngs.append(builder.finalize(prng))
+
+    n1 = len(provers[0].a_L)
+    if any(len(pr.a_L) != n1 for pr in provers):
+        raise ValueError("prove_batch requires equal phase-1 shapes")
+    if bp_gens.gens_capacity < n1:
+        raise R1CSInvalidGeneratorsLength()
+    gens = bp_gens.share(0)
+    Bb = provers[0].pc_gens.B_blinding
+    G1 = gens.G(n1)
+    H1 = gens.H(n1)
+
+    for prover, rng in zip(provers, rngs):
+        st = {
+            "i1": fr.rand(rng), "o1": fr.rand(rng), "s1": fr.rand(rng),
+            "s_L1": [fr.rand(rng) for _ in range(n1)],
+            "s_R1": [fr.rand(rng) for _ in range(n1)],
+        }
+        states.append(st)
+
+    zeros_n1 = [0] * n1
+    sets = []
+    for prover, st in zip(provers, states):
+        sets.append([st["i1"]] + prover.a_L + prover.a_R)
+        sets.append([st["o1"]] + prover.a_O + zeros_n1)
+        sets.append([st["s1"]] + st["s_L1"] + st["s_R1"])
+    pts = engine.msm_many(curve, [Bb] + G1 + H1, sets)
+
+    for b, (prover, st) in enumerate(zip(provers, states)):
+        st["A_I1"], st["A_O1"], st["S1"] = pts[3 * b: 3 * b + 3]
+        t = prover._transcript
+        protocol.append_point(t, curve, b"A_I1", st["A_I1"])
+        protocol.append_point(t, curve, b"A_O1", st["A_O1"])
+        protocol.append_point(t, curve, b"S1", st["S1"])
+        prover._create_randomized_constraints()
+
+    n = len(provers[0].a_L)
+    if any(len(pr.a_L) != n for pr in provers):
+        raise ValueError("prove_batch requires equal phase-2 shapes")
+    n2 = n - n1
+    padded_n = next_power_of_two(n)
+    pad = padded_n - n
+    if bp_gens.gens_capacity < padded_n:
+        raise R1CSInvalidGeneratorsLength()
+    has_phase2 = n2 > 0
+
+    for prover, st, rng in zip(provers, states, rngs):
+        if has_phase2:
+            st["i2"], st["o2"], st["s2"] = (
+                fr.rand(rng), fr.rand(rng), fr.rand(rng)
+            )
+        else:
+            st["i2"] = st["o2"] = st["s2"] = 0
+        st["s_L2"] = [fr.rand(rng) for _ in range(n2)]
+        st["s_R2"] = [fr.rand(rng) for _ in range(n2)]
+
+    if has_phase2:
+        G2 = gens.G(n)[n1:]
+        H2 = gens.H(n)[n1:]
+        zeros_n2 = [0] * n2
+        sets = []
+        for prover, st in zip(provers, states):
+            sets.append([st["i2"]] + prover.a_L[n1:] + prover.a_R[n1:])
+            sets.append([st["o2"]] + prover.a_O[n1:] + zeros_n2)
+            sets.append([st["s2"]] + st["s_L2"] + st["s_R2"])
+        pts = engine.msm_many(curve, [Bb] + G2 + H2, sets)
+    else:
+        pts = [curve.zero()] * (3 * P)
+
+    ipa_ts, ipa_ws, ipa_gf, ipa_hf, ipa_l, ipa_r = [], [], [], [], [], []
+    proofs_partial = []
+    for b, (prover, st, rng) in enumerate(zip(provers, states, rngs)):
+        t = prover._transcript
+        A_I2, A_O2, S2 = pts[3 * b: 3 * b + 3]
+        protocol.append_point(t, curve, b"A_I2", A_I2)
+        protocol.append_point(t, curve, b"A_O2", A_O2)
+        protocol.append_point(t, curve, b"S2", S2)
+
+        y = protocol.challenge_scalar(t, curve, b"y")
+        z = protocol.challenge_scalar(t, curve, b"z")
+        wL, wR, wO, wV = prover.flattened_constraints(z)
+
+        y_inv = fr.inv(y)
+        exp_y_inv = exp_vec(fr, y_inv, padded_n)
+        s_L = st["s_L1"] + st["s_L2"]
+        s_R = st["s_R1"] + st["s_R2"]
+
+        l_poly = VecPoly3(fr, n)
+        r_poly = VecPoly3(fr, n)
+        exp_y = 1
+        for i in range(n):
+            l_poly.c1[i] = (prover.a_L[i] + exp_y_inv[i] * wR[i]) % p
+            l_poly.c2[i] = prover.a_O[i]
+            l_poly.c3[i] = s_L[i]
+            r_poly.c0[i] = (wO[i] - exp_y) % p
+            r_poly.c1[i] = (exp_y * prover.a_R[i] + wL[i]) % p
+            r_poly.c3[i] = exp_y * s_R[i] % p
+            exp_y = exp_y * y % p
+        t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
+
+        tb = [fr.rand(rng) for _ in range(5)]  # t_1,3,4,5,6 blindings
+        T_1 = prover.pc_gens.commit(t_poly.t1, tb[0])
+        T_3 = prover.pc_gens.commit(t_poly.t3, tb[1])
+        T_4 = prover.pc_gens.commit(t_poly.t4, tb[2])
+        T_5 = prover.pc_gens.commit(t_poly.t5, tb[3])
+        T_6 = prover.pc_gens.commit(t_poly.t6, tb[4])
+        for lbl, Pt in (
+            (b"T_1", T_1), (b"T_3", T_3), (b"T_4", T_4),
+            (b"T_5", T_5), (b"T_6", T_6),
+        ):
+            protocol.append_point(t, curve, lbl, Pt)
+
+        u = protocol.challenge_scalar(t, curve, b"u")
+        x = protocol.challenge_scalar(t, curve, b"x")
+
+        t_2_blinding = sum(
+            c * vb for c, vb in zip(wV, prover.v_blinding)
+        ) % p
+        t_blinding_poly = Poly6(
+            fr, tb[0], t_2_blinding, tb[1], tb[2], tb[3], tb[4]
+        )
+        t_x = t_poly.eval(x)
+        t_x_blinding = t_blinding_poly.eval(x)
+        l_vec = l_poly.eval(x) + [0] * pad
+        r_vec = r_poly.eval(x) + [0] * pad
+        exp_y = fr.pow(y, n)
+        for i in range(n, padded_n):
+            r_vec[i] = (p - exp_y) % p
+            exp_y = exp_y * y % p
+
+        i_blinding = (st["i1"] + u * st["i2"]) % p
+        o_blinding = (st["o1"] + u * st["o2"]) % p
+        s_blinding = (st["s1"] + u * st["s2"]) % p
+        e_blinding = (
+            x * (i_blinding + x * (o_blinding + x * s_blinding)) % p
+        )
+
+        protocol.append_scalar(t, curve, b"t_x", t_x)
+        protocol.append_scalar(t, curve, b"t_x_blinding", t_x_blinding)
+        protocol.append_scalar(t, curve, b"e_blinding", e_blinding)
+
+        w = protocol.challenge_scalar(t, curve, b"w")
+        G_factors = [1] * n1 + [u] * (n2 + pad)
+        H_factors = [
+            yi * gf % p for yi, gf in zip(exp_y_inv, G_factors)
+        ]
+        ipa_ts.append(t)
+        ipa_ws.append(w)
+        ipa_gf.append(G_factors)
+        ipa_hf.append(H_factors)
+        ipa_l.append(l_vec)
+        ipa_r.append(r_vec)
+        proofs_partial.append(
+            dict(
+                A_I1=st["A_I1"], A_O1=st["A_O1"], S1=st["S1"],
+                A_I2=A_I2, A_O2=A_O2, S2=S2,
+                T_1=T_1, T_3=T_3, T_4=T_4, T_5=T_5, T_6=T_6,
+                t_x=t_x, t_x_blinding=t_x_blinding,
+                e_blinding=e_blinding,
+            )
+        )
+        l_poly.clear()
+        r_poly.clear()
+        st["s_L1"][:] = [0] * n1
+        st["s_R1"][:] = [0] * n1
+        st["s_L2"][:] = [0] * n2
+        st["s_R2"][:] = [0] * n2
+
+    ipa_proofs = InnerProductProof.create_batch(
+        ipa_ts, curve, provers[0].pc_gens.B, ipa_ws, ipa_gf, ipa_hf,
+        gens.G(padded_n), gens.H(padded_n), ipa_l, ipa_r,
+    )
+    return [
+        R1CSProof(ipp_proof=ip, **kw)
+        for kw, ip in zip(proofs_partial, ipa_proofs)
+    ]

@@ -245,3 +245,54 @@ def test_proof_from_bytes_rejects_garbage():
 
     with pytest.raises(R1CSFormatError):
         R1CSProof.from_bytes(secq256k1, b"\x01" * 100)
+
+
+# --- batched prover --------------------------------------------------------
+
+
+def test_prove_batch_matches_serial():
+    """prove_batch produces proofs bit-identical to serial Prover.prove
+    for the same transcripts/witness/prng seeds (lockstep phases +
+    batched MSMs must not change any byte)."""
+    from ark_bulletproofs_tpu.r1cs import prove_batch
+
+    curve = secq256k1
+    k = 4
+    pc_gens = PedersenGens.default(curve)
+    bp_gens = BulletproofGens(curve, next_power_of_two(2 * k), 1)
+
+    def build(seed):
+        rng = seeded_rng(seed)
+        pyrng = random.Random(seed)
+        inputs = [pyrng.getrandbits(64) for _ in range(k)]
+        outputs = list(inputs)
+        pyrng.shuffle(outputs)
+        t = Transcript(b"batchprove")
+        t.append_message(b"dom-sep", b"ShuffleProof")
+        t.append_u64(b"k", k)
+        prover = Prover(pc_gens, t)
+        in_coms, in_vars = zip(
+            *[prover.commit(v, curve.fr.rand(rng)) for v in inputs]
+        )
+        out_coms, out_vars = zip(
+            *[prover.commit(v, curve.fr.rand(rng)) for v in outputs]
+        )
+        from ark_bulletproofs_tpu.gadgets import shuffle_gadget
+
+        shuffle_gadget(prover, curve, list(in_vars), list(out_vars))
+        return prover, rng
+
+    serial = []
+    for seed in (301, 302, 303):
+        prover, rng = build(seed)
+        serial.append(prover.prove(rng, bp_gens))
+
+    provers, rngs = [], []
+    for seed in (301, 302, 303):
+        prover, rng = build(seed)
+        provers.append(prover)
+        rngs.append(rng)
+    batched = prove_batch(provers, rngs, bp_gens)
+
+    for sp, bp in zip(serial, batched):
+        assert sp.to_bytes(curve) == bp.to_bytes(curve)
