@@ -83,25 +83,36 @@ def _init_identity(cs, ax, ay, az):
     az[:] = jnp.zeros_like(az)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK):
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
+                     rows: int = 8):
     """Per-column inclusive suffix sums of affine points.
 
-    cXY: (R, L, 2*NL) gathered point rows — x limbs then y limbs packed
-    per point with limbs on the LAST axis, so the caller's sorted-point
-    gather is a plain 128-byte-row gather with NO layout pass (the
-    limb-major transpose happens in-register inside the kernel).
-    Identity rows are encoded as y = 0 (no valid point on an odd-order
-    SW curve has y = 0). Returns locals (R, NL, L) x 3 projective
-    coords where locals[r, :, l] = sum_{r' >= r} P[r', l]
-    (identity-initialized, scanned from the last row upward); locals[0]
-    are the column totals.
-    """
-    R, L, two_nl = cXY.shape
-    assert two_nl == 2 * NL
-    assert L % block == 0 and block % 128 == 0
+    cX, cY: (R, NL, L) gathered affine coords, LIMB-MAJOR — the caller
+    row-gathers limbs-last (the XLA:TPU gather is ~6 ns/row at <= 64-byte
+    rows but falls off a ~6x cliff at 128-byte rows, measured at n=2^20)
+    and then transposes in XLA: an in-kernel (block, NL).T relayout
+    measured ~45 ns/madd of pure Mosaic shuffle overhead — 8x the madd
+    math itself — while the XLA transpose is bandwidth-bound. Identity
+    rows are encoded as y = 0 (no valid point on an odd-order SW curve
+    has y = 0).
 
-    def kern(xy_ref, lx, ly, lz, ax, ay, az):
+    Each grid invocation scans `rows` rows with the running point in
+    REGISTERS: one scratch round-trip and one in/out DMA per `rows`
+    mixed adds.
+
+    Returns locals (R, NL, L) x 3 projective coords where
+    locals[r, :, l] = sum_{r' >= r} P[r', l] (identity-initialized,
+    scanned from the last row upward); locals[0] are the column totals.
+    """
+    R, nl, L = cX.shape
+    assert nl == NL
+    assert L % block == 0 and block % 128 == 0
+    rows = min(rows, R)  # R is a power of two; small n can have R < rows
+    assert R % rows == 0
+    RB = R // rows
+
+    def kern(x_ref, y_ref, lx, ly, lz, ax, ay, az):
         r = pl.program_id(1)
 
         @pl.when(r == 0)
@@ -109,32 +120,29 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK):
             _init_identity(cs, ax, ay, az)
 
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
-        xyT = xy_ref[0].T  # (2*NL, block) in-register transpose
-        qx = [xyT[i] for i in range(NL)]
-        qy = [xyT[NL + i] for i in range(NL)]
-        qi = qy[0]
-        for i in range(1, NL):
-            qi = qi | qy[i]
-        X3, Y3, Z3 = _k_rcb_madd(cs, P, qx, qy, qi == 0)
-        _wr_s(ax, X3)
-        _wr_s(ay, Y3)
-        _wr_s(az, Z3)
-        _wr(lx, X3)
-        _wr(ly, Y3)
-        _wr(lz, Z3)
+        for j in range(rows - 1, -1, -1):
+            qx = [x_ref[j, i] for i in range(NL)]
+            qy = [y_ref[j, i] for i in range(NL)]
+            qi = qy[0]
+            for i in range(1, NL):
+                qi = qi | qy[i]
+            P = _k_rcb_madd(cs, P, qx, qy, qi == 0)
+            lx[j] = jnp.stack(P[0])
+            ly[j] = jnp.stack(P[1])
+            lz[j] = jnp.stack(P[2])
+        _wr_s(ax, P[0])
+        _wr_s(ay, P[1])
+        _wr_s(az, P[2])
 
     spec = pl.BlockSpec(
-        (1, NL, block), lambda i, r: (R - 1 - r, 0, i),
+        (rows, NL, block), lambda i, r: (RB - 1 - r, 0, i),
         memory_space=pltpu.VMEM,
     )
-    xy_spec = pl.BlockSpec(
-        (1, block, 2 * NL), lambda i, r: (R - 1 - r, i, 0),
-        memory_space=pltpu.VMEM,
-    )
+    in_spec = spec
     return pl.pallas_call(
         kern,
-        grid=(L // block, R),
-        in_specs=[xy_spec],
+        grid=(L // block, RB),
+        in_specs=[in_spec, in_spec],
         out_specs=(spec, spec, spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((R, NL, L), jnp.uint32) for _ in range(3)
@@ -142,7 +150,7 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK):
         scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(cXY)
+    )(cX, cY)
 
 
 @partial(jax.jit, static_argnums=(0, 4))

@@ -27,6 +27,8 @@ v1 (ops/msm.py) remains the XLA-op path for CPU meshes and tiny sizes.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,13 +143,15 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
 
     # --- 3: gather sorted points, column suffix scan ----------------
     # sorted flat index i = col*R + r; lane layout l = row*C + col.
-    # x||y packed per point: ONE 128-byte-row gather, no layout pass
-    # (the kernel transposes in-register); identity rows carry y = 0.
-    XY = jnp.concatenate([X, Y], axis=1)  # (n, 32)
-    XY = jnp.where(inf[:, None], jnp.zeros_like(XY), XY)
+    # TWO 64-byte-row gathers (the XLA:TPU gather falls off a ~6x
+    # throughput cliff past 64-byte rows) + an XLA limb-major transpose
+    # (bandwidth-bound; an in-kernel relayout costs ~8x the madd math).
+    # Identity rows carry y = 0.
+    Yz = jnp.where(inf[:, None], jnp.zeros_like(Y), Y)
     ord_r = order.reshape(BW, C, R).transpose(2, 0, 1).reshape(R, L)
-    gxy = XY[ord_r]  # (R, L, 2*NL)
-    lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
+    gx = jnp.swapaxes(X[ord_r], 1, 2)  # (R, NL, L)
+    gy = jnp.swapaxes(Yz[ord_r], 1, 2)
+    lX, lY, lZ = k2.suffix_madd_scan(spec, gx, gy)
     tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
 
     # --- 4: two-level exclusive column-carry suffix -----------------
@@ -229,3 +233,10 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
 
 
 msm2_device = jax.jit(msm2_impl, static_argnums=(0, 1))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def msm2_device_jac(spec, c: int, X, Y, inf, scal):
+    """v2 MSM returning JACOBIAN coords (ops/curve.py conventions), for
+    drop-in use at protocol call sites built around the v1 contract."""
+    return dpj.to_jacobian(spec, msm2_impl(spec, c, X, Y, inf, scal))

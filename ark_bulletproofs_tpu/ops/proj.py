@@ -273,3 +273,15 @@ def point_to_host(curve, P) -> object:
         return None
     zi = pow(z, -1, f.p)
     return (x * zi % f.p, y * zi % f.p)
+
+
+def to_jacobian(spec: CurveSpec, P: Point) -> Point:
+    """(X:Y:Z) projective -> equivalent Jacobian (XZ, YZ^2, Z).
+
+    Three field muls; the identity (Z=0) maps to the Jacobian identity
+    encoding (0, 0, 0). Lets the v2 MSM (projective-native) feed callers
+    that expect Jacobian points (ops/curve.py conventions)."""
+    fs = spec.fq
+    X, Y, Z = P
+    Z2 = df.mont_mul(fs, Z, Z)
+    return (df.mont_mul(fs, X, Z), df.mont_mul(fs, Y, Z2), Z)

@@ -229,4 +229,16 @@ def msm_device_maybe_sharded(spec, c, X, Y, inf, scal):
                 fns = (jax.jit(pair[0]), jax.jit(pair[1]))
                 _JIT_CACHE[key] = fns
             return fns[1 if scal.ndim == 3 else 0](X, Y, inf, scal)
+    if (
+        n >= 1024
+        and (n & (n - 1)) == 0
+        and isinstance(spec, dc.CurveSpec)
+        and jax.devices()[0].platform != "cpu"
+    ):
+        # single-chip TPU: the fused mega-kernel Pippenger (jacobian out)
+        from ..ops import msm2
+
+        return msm2.msm2_device_jac(
+            spec, msm2.window_bits(n), X, Y, inf, scal
+        )
     return dmsm.msm_device(spec, c, X, Y, inf, scal)

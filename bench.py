@@ -10,9 +10,14 @@ here as a fixed constant so rounds stay comparable).
 Inputs are FULLY random: distinct generator-chain points (the same
 SHA3/ChaCha chain the protocol uses) and unique uniform scalars — no
 repeated points/scalars that would compress the sort or hit doubling
-fast paths. Points are cached in benches/.bench_points_*.npz after the
-first run. The run self-checks the device result against the exact host
-Pippenger before any timing is reported.
+fast paths. Points and the exact host-Pippenger reference result are
+cached in benches/.bench_points_*.npz after the first run. The run
+self-checks the device result against the host reference before any
+timing is reported, and every timed iteration blocks to completion
+(through the axon tunnel that includes ~29 ms of RPC latency per call,
+so the number is conservative vs bare-metal).
+
+Size: ABTPU_BENCH_LOGN (default 16).
 """
 
 from __future__ import annotations
@@ -26,22 +31,29 @@ REFERENCE_CPU_MSM_PPS = 800_000.0
 CACHE = os.path.join(os.path.dirname(__file__), "benches")
 
 
-def _points(curve, n):
-    """n distinct random points (disk-cached affine ints)."""
+def _workload(curve, n, ks):
+    """n distinct random points + the exact MSM result (disk-cached)."""
     import numpy as np
 
     path = os.path.join(CACHE, f".bench_points_{curve.name}_{n}.npz")
     if os.path.exists(path):
         d = np.load(path)
-        xs, ys = d["xs"], d["ys"]
-        return [
+        pts = [
             (int.from_bytes(x.tobytes(), "little"),
              int.from_bytes(y.tobytes(), "little"))
-            for x, y in zip(xs, ys)
+            for x, y in zip(d["xs"], d["ys"])
         ]
-    from ark_bulletproofs_tpu.generators import GeneratorsChain
+        if "wx" in d:
+            want = (
+                int.from_bytes(d["wx"].tobytes(), "little"),
+                int.from_bytes(d["wy"].tobytes(), "little"),
+            )
+            return pts, want
+    else:
+        from ark_bulletproofs_tpu.generators import GeneratorsChain
 
-    pts = GeneratorsChain(curve, b"bench").take(n)
+        pts = GeneratorsChain(curve, b"bench").take(n)
+    want = curve.msm(pts, ks)
     xs = np.stack(
         [np.frombuffer(P[0].to_bytes(32, "little"), np.uint8) for P in pts]
     )
@@ -49,8 +61,12 @@ def _points(curve, n):
         [np.frombuffer(P[1].to_bytes(32, "little"), np.uint8) for P in pts]
     )
     os.makedirs(CACHE, exist_ok=True)
-    np.savez_compressed(path, xs=xs, ys=ys)
-    return pts
+    np.savez_compressed(
+        path, xs=xs, ys=ys,
+        wx=np.frombuffer(want[0].to_bytes(32, "little"), np.uint8),
+        wy=np.frombuffer(want[1].to_bytes(32, "little"), np.uint8),
+    )
+    return pts, want
 
 
 def main() -> None:
@@ -70,12 +86,13 @@ def main() -> None:
     spec = dc.spec_for(curve)
 
     platform = jax.devices()[0].platform
-    log_n = 16 if platform != "cpu" else 10
+    default_logn = 16 if platform != "cpu" else 10
+    log_n = int(os.environ.get("ABTPU_BENCH_LOGN", default_logn))
     n = 1 << log_n
 
-    pts = _points(curve, n)
     prng = random.Random(2024)
     ks = [prng.randrange(curve.fr.p) for _ in range(n)]
+    pts, want = _workload(curve, n, ks)
 
     X, Y, inf = dc.affine_to_device(curve, pts)
     scal = ints_to_limbs(ks)
@@ -99,7 +116,6 @@ def main() -> None:
     out = run()
     jax.block_until_ready(out)
     got = to_host(curve, out)
-    want = curve.msm(pts, ks)
     if got != want:
         print(
             json.dumps(
@@ -118,9 +134,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
-    # force completion with a tiny host fetch (the tunnel's
-    # block_until_ready can return before execution finishes)
-    jax.device_get(out[0].ravel()[0] if hasattr(out[0], "ravel") else out[0])
+        jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
     pps = n / dt
