@@ -54,20 +54,10 @@ BLOCK = 1024
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
-def _rd(ref):
-    """(1, NL, B) ref -> list of NL (B,) vectors."""
-    x = ref[0]
-    return [x[i] for i in range(NL)]
-
-
 def _rd_s(ref):
     """(NL, B) scratch ref -> list of NL (B,) vectors."""
     x = ref[:]
     return [x[i] for i in range(NL)]
-
-
-def _wr(ref, limbs):
-    ref[0] = jnp.stack(limbs)
 
 
 def _wr_s(ref, limbs):
@@ -119,17 +109,25 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
         def _():
             _init_identity(cs, ax, ay, az)
 
-        P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
-        for j in range(rows - 1, -1, -1):
-            qx = [x_ref[j, i] for i in range(NL)]
-            qy = [y_ref[j, i] for i in range(NL)]
+        # fori_loop so the madd body is compiled ONCE, not `rows` times
+        # (unrolled, Mosaic took ~350 s/shape; ~60 s with the loop).
+        def body(t, P):
+            j = rows - 1 - t
+            x = x_ref[pl.ds(j, 1)][0]
+            y = y_ref[pl.ds(j, 1)][0]
+            qx = [x[i] for i in range(NL)]
+            qy = [y[i] for i in range(NL)]
             qi = qy[0]
             for i in range(1, NL):
                 qi = qi | qy[i]
-            P = _k_rcb_madd(cs, P, qx, qy, qi == 0)
-            lx[j] = jnp.stack(P[0])
-            ly[j] = jnp.stack(P[1])
-            lz[j] = jnp.stack(P[2])
+            X3, Y3, Z3 = _k_rcb_madd(cs, P, qx, qy, qi == 0)
+            lx[pl.ds(j, 1)] = jnp.stack(X3)[None]
+            ly[pl.ds(j, 1)] = jnp.stack(Y3)[None]
+            lz[pl.ds(j, 1)] = jnp.stack(Z3)[None]
+            return (list(X3), list(Y3), list(Z3))
+
+        P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
+        P = jax.lax.fori_loop(0, rows, body, P)
         _wr_s(ax, P[0])
         _wr_s(ay, P[1])
         _wr_s(az, P[2])
@@ -153,15 +151,28 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
     )(cX, cY)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512):
-    """Exclusive suffix sums over rows of Jacobian points, plus totals.
+def _ident_value(cs, block):
+    """Projective identity (0 : 1 : 0) as in-register limb vectors."""
+    zero = jnp.zeros((block,), jnp.uint32)
+    one = [jnp.full((block,), int(v), jnp.uint32) for v in cs.fq.r_limbs]
+    return ([zero] * NL, one, [zero] * NL)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512,
+                    rows: int = 8):
+    """Exclusive suffix sums over rows of projective points, plus totals.
 
     tX/tY/tZ: (Rb, NL, L). Returns (exclX, exclY, exclZ, totX, totY,
     totZ): excl[r, :, l] = sum_{r' > r} T[r', l]; tot = inclusive total.
+    `rows` rows per grid invocation, accumulator in registers (fori so
+    the add body compiles once).
     """
     Rb, _, L = tX.shape
     assert L % block == 0 and block % 128 == 0
+    rows = min(rows, Rb)
+    assert Rb % rows == 0
+    RB = Rb // rows
 
     def kern(x_ref, y_ref, z_ref, ex, ey, ez, tx, ty, tz, ax, ay, az):
         r = pl.program_id(1)
@@ -170,22 +181,34 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512):
         def _():
             _init_identity(cs, ax, ay, az)
 
-        # exclusive: write the carry BEFORE accumulating this row
-        ex[0] = ax[:]
-        ey[0] = ay[:]
-        ez[0] = az[:]
+        def body(t, P):
+            j = rows - 1 - t
+            # exclusive: write the carry BEFORE accumulating this row
+            ex[pl.ds(j, 1)] = jnp.stack(P[0])[None]
+            ey[pl.ds(j, 1)] = jnp.stack(P[1])[None]
+            ez[pl.ds(j, 1)] = jnp.stack(P[2])[None]
+            x = x_ref[pl.ds(j, 1)][0]
+            y = y_ref[pl.ds(j, 1)][0]
+            z = z_ref[pl.ds(j, 1)][0]
+            Q = (
+                [x[i] for i in range(NL)],
+                [y[i] for i in range(NL)],
+                [z[i] for i in range(NL)],
+            )
+            X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
+            return (list(X3), list(Y3), list(Z3))
+
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
-        Q = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
-        X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
-        _wr_s(ax, X3)
-        _wr_s(ay, Y3)
-        _wr_s(az, Z3)
+        P = jax.lax.fori_loop(0, rows, body, P)
+        _wr_s(ax, P[0])
+        _wr_s(ay, P[1])
+        _wr_s(az, P[2])
         tx[:] = ax[:]
         ty[:] = ay[:]
         tz[:] = az[:]
 
     spec = pl.BlockSpec(
-        (1, NL, block), lambda i, r: (Rb - 1 - r, 0, i),
+        (rows, NL, block), lambda i, r: (RB - 1 - r, 0, i),
         memory_space=pltpu.VMEM,
     )
     tot_spec = pl.BlockSpec(
@@ -193,7 +216,7 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512):
     )
     return pl.pallas_call(
         kern,
-        grid=(L // block, Rb),
+        grid=(L // block, RB),
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec, tot_spec, tot_spec, tot_spec),
         out_shape=tuple(
@@ -208,11 +231,15 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512):
     )(tX, tY, tZ)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512):
-    """Sum (K, NL, L) Jacobian rows -> (NL, L) totals, one launch."""
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512,
+               rows: int = 8):
+    """Sum (K, NL, L) projective rows -> (NL, L) totals, one launch."""
     K, _, L = tX.shape
     assert L % block == 0 and block % 128 == 0
+    rows = min(rows, K)
+    assert K % rows == 0
+    KB = K // rows
 
     def kern(x_ref, y_ref, z_ref, ox, oy, oz, ax, ay, az):
         r = pl.program_id(1)
@@ -221,25 +248,37 @@ def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512):
         def _():
             _init_identity(cs, ax, ay, az)
 
+        def body(j, P):
+            x = x_ref[pl.ds(j, 1)][0]
+            y = y_ref[pl.ds(j, 1)][0]
+            z = z_ref[pl.ds(j, 1)][0]
+            Q = (
+                [x[i] for i in range(NL)],
+                [y[i] for i in range(NL)],
+                [z[i] for i in range(NL)],
+            )
+            X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
+            return (list(X3), list(Y3), list(Z3))
+
         P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
-        Q = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
-        X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
-        _wr_s(ax, X3)
-        _wr_s(ay, Y3)
-        _wr_s(az, Z3)
+        P = jax.lax.fori_loop(0, rows, body, P)
+        _wr_s(ax, P[0])
+        _wr_s(ay, P[1])
+        _wr_s(az, P[2])
         ox[:] = ax[:]
         oy[:] = ay[:]
         oz[:] = az[:]
 
     spec = pl.BlockSpec(
-        (1, NL, block), lambda i, r: (r, 0, i), memory_space=pltpu.VMEM
+        (rows, NL, block), lambda i, r: (r, 0, i),
+        memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
         (NL, block), lambda i, r: (0, i), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kern,
-        grid=(L // block, K),
+        grid=(L // block, KB),
         in_specs=[spec, spec, spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(
@@ -257,46 +296,51 @@ def horner_windows(cs: CurveSpec, pX, pY, pZ, c: int, block: int = 128):
 
     pX/pY/pZ: (W, NL, L) window partials, HIGHEST-weight window at row
     W-1; lanes L carry independent scalar-set accumulators. Returns the
-    (NL, L) combined points.
+    (NL, L) combined points. All W windows run inside ONE grid
+    invocation (nested fori: the double and add bodies each compile
+    once), with the accumulator in registers throughout.
     """
     W, _, L = pX.shape
     assert L % block == 0 and block % 128 == 0
 
-    def kern(x_ref, y_ref, z_ref, ox, oy, oz, ax, ay, az):
-        r = pl.program_id(1)
+    def kern(x_ref, y_ref, z_ref, ox, oy, oz):
+        def dbl(_k, P):
+            X3, Y3, Z3 = _k_rcb_double(cs, *P)
+            return (list(X3), list(Y3), list(Z3))
 
-        @pl.when(r == 0)
-        def _():
-            _init_identity(cs, ax, ay, az)
+        def wstep(t, P):
+            P = jax.lax.fori_loop(0, c, dbl, P)
+            j = W - 1 - t
+            x = x_ref[pl.ds(j, 1)][0]
+            y = y_ref[pl.ds(j, 1)][0]
+            z = z_ref[pl.ds(j, 1)][0]
+            Q = (
+                [x[i] for i in range(NL)],
+                [y[i] for i in range(NL)],
+                [z[i] for i in range(NL)],
+            )
+            X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
+            return (list(X3), list(Y3), list(Z3))
 
-        P = [_rd_s(ax), _rd_s(ay), _rd_s(az)]
-        for _i in range(c):
-            P = list(_k_rcb_double(cs, *P))
-        Q = (_rd(x_ref), _rd(y_ref), _rd(z_ref))
-        X3, Y3, Z3 = _k_rcb_add(cs, tuple(P), Q)
-        _wr_s(ax, X3)
-        _wr_s(ay, Y3)
-        _wr_s(az, Z3)
-        ox[:] = ax[:]
-        oy[:] = ay[:]
-        oz[:] = az[:]
+        P = jax.lax.fori_loop(0, W, wstep, _ident_value(cs, block))
+        ox[:] = jnp.stack(P[0])
+        oy[:] = jnp.stack(P[1])
+        oz[:] = jnp.stack(P[2])
 
     spec = pl.BlockSpec(
-        (1, NL, block), lambda i, r: (W - 1 - r, 0, i),
-        memory_space=pltpu.VMEM,
+        (W, NL, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (NL, block), lambda i, r: (0, i), memory_space=pltpu.VMEM
+        (NL, block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kern,
-        grid=(L // block, W),
+        grid=(L // block,),
         in_specs=[spec, spec, spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((NL, L), jnp.uint32) for _ in range(3)
         ),
-        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
         compiler_params=_PARAMS,
         interpret=_interpret(),
     )(pX, pY, pZ)
