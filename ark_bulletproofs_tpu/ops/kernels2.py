@@ -73,19 +73,24 @@ def _init_identity(cs, ax, ay, az):
     az[:] = jnp.zeros_like(az)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
                      rows: int = 8):
     """Per-column inclusive suffix sums of affine points.
 
-    cX, cY: (R, NL, L) gathered affine coords, LIMB-MAJOR — the caller
-    row-gathers limbs-last (the XLA:TPU gather is ~6 ns/row at <= 64-byte
-    rows but falls off a ~6x cliff at 128-byte rows, measured at n=2^20)
-    and then transposes in XLA: an in-kernel (block, NL).T relayout
-    measured ~45 ns/madd of pure Mosaic shuffle overhead — 8x the madd
-    math itself — while the XLA transpose is bandwidth-bound. Identity
-    rows are encoded as y = 0 (no valid point on an odd-order SW curve
-    has y = 0).
+    cXY: (R, NL, L) gathered affine coords, LIMB-MAJOR and PACKED —
+    limb i holds `x_i | (y_i << 16)` (limbs are 16-bit values in u32
+    lanes, so both coordinates fit one u32 plane). Packing halves the
+    caller's row-gather count — the XLA:TPU gather is dispatch-bound at
+    ~6 ns/row for <= 64-byte rows (and falls off a ~6x cliff at 128-byte
+    rows, measured at n=2^20), so one packed 64-byte row beats two
+    half-empty ones — and halves the limb-major transpose + kernel input
+    DMA bandwidth. The unpack is 2 vector ops/limb in-register, noise
+    next to the madd math. The caller transposes in XLA: an in-kernel
+    (block, NL).T relayout measured ~45 ns/madd of pure Mosaic shuffle
+    overhead — 8x the madd math itself — while the XLA transpose is
+    bandwidth-bound. Identity rows are encoded as y = 0 (no valid point
+    on an odd-order SW curve has y = 0).
 
     Each grid invocation scans `rows` rows with the running point in
     REGISTERS: one scratch round-trip and one in/out DMA per `rows`
@@ -95,14 +100,14 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
     locals[r, :, l] = sum_{r' >= r} P[r', l] (identity-initialized,
     scanned from the last row upward); locals[0] are the column totals.
     """
-    R, nl, L = cX.shape
+    R, nl, L = cXY.shape
     assert nl == NL
     assert L % block == 0 and block % 128 == 0
     rows = min(rows, R)  # R is a power of two; small n can have R < rows
     assert R % rows == 0
     RB = R // rows
 
-    def kern(x_ref, y_ref, lx, ly, lz, ax, ay, az):
+    def kern(xy_ref, lx, ly, lz, ax, ay, az):
         r = pl.program_id(1)
 
         @pl.when(r == 0)
@@ -113,10 +118,9 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
         # (unrolled, Mosaic took ~350 s/shape; ~60 s with the loop).
         def body(t, P):
             j = rows - 1 - t
-            x = x_ref[pl.ds(j, 1)][0]
-            y = y_ref[pl.ds(j, 1)][0]
-            qx = [x[i] for i in range(NL)]
-            qy = [y[i] for i in range(NL)]
+            v = xy_ref[pl.ds(j, 1)][0]
+            qx = [v[i] & jnp.uint32(0xFFFF) for i in range(NL)]
+            qy = [v[i] >> 16 for i in range(NL)]
             qi = qy[0]
             for i in range(1, NL):
                 qi = qi | qy[i]
@@ -136,11 +140,10 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
         (rows, NL, block), lambda i, r: (RB - 1 - r, 0, i),
         memory_space=pltpu.VMEM,
     )
-    in_spec = spec
     return pl.pallas_call(
         kern,
         grid=(L // block, RB),
-        in_specs=[in_spec, in_spec],
+        in_specs=[spec],
         out_specs=(spec, spec, spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((R, NL, L), jnp.uint32) for _ in range(3)
@@ -148,7 +151,7 @@ def suffix_madd_scan(cs: CurveSpec, cX, cY, block: int = BLOCK,
         scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(cX, cY)
+    )(cXY)
 
 
 def _ident_value(cs, block):

@@ -143,15 +143,17 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
 
     # --- 3: gather sorted points, column suffix scan ----------------
     # sorted flat index i = col*R + r; lane layout l = row*C + col.
-    # TWO 64-byte-row gathers (the XLA:TPU gather falls off a ~6x
-    # throughput cliff past 64-byte rows) + an XLA limb-major transpose
-    # (bandwidth-bound; an in-kernel relayout costs ~8x the madd math).
-    # Identity rows carry y = 0.
+    # ONE 64-byte-row gather of PACKED coords (x_i | y_i << 16 — limbs
+    # are 16-bit, both coords fit one u32 plane; the XLA:TPU gather is
+    # dispatch-bound ~6 ns/row under 64 bytes and falls off a ~6x cliff
+    # past that, so packing halves the dominant row count) + an XLA
+    # limb-major transpose (bandwidth-bound; an in-kernel relayout costs
+    # ~8x the madd math). Identity rows carry y = 0.
     Yz = jnp.where(inf[:, None], jnp.zeros_like(Y), Y)
+    XY = X | (Yz << 16)  # (n, NL) packed affine coords
     ord_r = order.reshape(BW, C, R).transpose(2, 0, 1).reshape(R, L)
-    gx = jnp.swapaxes(X[ord_r], 1, 2)  # (R, NL, L)
-    gy = jnp.swapaxes(Yz[ord_r], 1, 2)
-    lX, lY, lZ = k2.suffix_madd_scan(spec, gx, gy)
+    gxy = jnp.swapaxes(XY[ord_r], 1, 2)  # (R, NL, L)
+    lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
     tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
 
     # --- 4: two-level exclusive column-carry suffix -----------------

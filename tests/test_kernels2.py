@@ -65,16 +65,14 @@ def test_suffix_madd_scan_matches_host():
     curve = CURVE
     spec = dc.spec_for(curve)
     grid = _affine_grid(curve, R, L, seed=3)
-    X = np.zeros((R, N_LIMBS, L), np.uint32)
-    Y = np.zeros((R, N_LIMBS, L), np.uint32)
+    XY = np.zeros((R, N_LIMBS, L), np.uint32)
     for r in range(R):
         Xr, Yr, inf = dc.affine_to_device(curve, grid[r])
         Xr, Yr = np.asarray(Xr), np.asarray(Yr)
         Yr[np.asarray(inf)] = 0  # identity encoding: y = 0
         Xr[np.asarray(inf)] = 0
-        X[r] = Xr.T
-        Y[r] = Yr.T
-    lX, lY, lZ = k2.suffix_madd_scan(spec, X, Y, block, rows)
+        XY[r] = (Xr | (Yr << 16)).T  # packed 16-bit limb planes
+    lX, lY, lZ = k2.suffix_madd_scan(spec, XY, block, rows)
     lX, lY, lZ = (np.asarray(a) for a in (lX, lY, lZ))
     for lane in (0, 1, 2, 3, 255, 256, 511):
         acc = None

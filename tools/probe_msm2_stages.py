@@ -52,13 +52,14 @@ def stageA(scal):
 @jax.jit
 def stageB(X, Y, inf, order):
     Yz = jnp.where(inf[:, None], jnp.zeros_like(Y), Y)
+    XY = X | (Yz << 16)
     ord_r = order.reshape(BW, C, R).transpose(2, 0, 1).reshape(R, L)
-    return jnp.swapaxes(X[ord_r], 1, 2), jnp.swapaxes(Yz[ord_r], 1, 2)
+    return jnp.swapaxes(XY[ord_r], 1, 2)
 
 
 BLK = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 RWS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-stageC = lambda gx, gy: k2.suffix_madd_scan(spec, gx, gy, BLK, RWS)
+stageC = lambda gxy: k2.suffix_madd_scan(spec, gxy, BLK, RWS)
 
 
 @jax.jit
@@ -180,8 +181,8 @@ def stageE3(T1, EC, valid):
 
 
 order, sd = tm("A digits+sort  ", stageA, scal)
-gx, gy = tm("B gather/layout", stageB, X, Y, inf, order)
-lX, lY, lZ = tm("C madd scan    ", stageC, gx, gy)
+gxy = tm("B gather/layout", stageB, X, Y, inf, order)
+lX, lY, lZ = tm("C madd scan    ", stageC, gxy)
 excl_col = tm("D col carries  ", stageD, lX, lY, lZ)
 U = tm("E bucket gather", stageE, sd, lX, lY, lZ, excl_col)
 pos = tm("  E1 searchsort", stageE1, sd)
