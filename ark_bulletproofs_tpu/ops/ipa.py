@@ -49,18 +49,9 @@ def _round_scalars(fr: df.FieldSpec, a, b, gm, hm, m, curm1, M: int):
     return _round_scalars_mont(fr, a, b, gm, hm, one, m, curm1, M)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _fold(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, m, curm1):
-    """Fold witness halves and update base weights after challenge u."""
-    N = a.shape[0]
-    idx = jnp.arange(N, dtype=U32)
-    i = idx & curm1
-    right = i >= m
-    active = idx < m
-
-    a_up = jnp.take(a, (idx + m).astype(jnp.int32), axis=0, mode="clip")
-    b_up = jnp.take(b, (idx + m).astype(jnp.int32), axis=0, mode="clip")
-
+def _fold_math(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, a_up, b_up,
+               right, active):
+    """Shared fold body: callers supply the half-shift gathers + masks."""
     u_sel_g = df.select(right, jnp.broadcast_to(u, gm.shape),
                         jnp.broadcast_to(u_inv, gm.shape))
     u_sel_h = df.select(right, jnp.broadcast_to(u_inv, hm.shape),
@@ -83,6 +74,85 @@ def _fold(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, m, curm1):
     a_new = df.select(active, df.add(fr, prods[0], prods[1]), zero)
     b_new = df.select(active, df.add(fr, prods[2], prods[3]), zero)
     return a_new, b_new, prods[4], prods[5]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fold(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, m, curm1):
+    """Fold witness halves and update base weights after challenge u."""
+    N = a.shape[0]
+    idx = jnp.arange(N, dtype=U32)
+    i = idx & curm1
+    right = i >= m
+    active = idx < m
+
+    a_up = jnp.take(a, (idx + m).astype(jnp.int32), axis=0, mode="clip")
+    b_up = jnp.take(b, (idx + m).astype(jnp.int32), axis=0, mode="clip")
+    return _fold_math(fr, a, b, gm, hm, u, u_inv, a_up, b_up, right, active)
+
+
+# --- mesh-sharded vector phase (SURVEY.md §5 "sharded length-n") --------
+#
+# When an engine mesh is active, the O(n) witness/weight vectors are
+# themselves sharded across devices (not just the MSM base table). The
+# prover drives rounds from the host, so `cur` is a Python int: the
+# half-shift gathers become STATIC slice/tile ops and the masks become
+# compile-time constants, which lets GSPMD partition everything itself —
+# the a[i±m] shifts lower to collective-permutes / an O(m) prefix
+# all-gather, and the c_L/c_R inner products become psum-reduced per-
+# device partials. One compile per round size (lg n field-only graphs)
+# instead of the single dynamic-shape program used on one chip.
+
+
+def _masks_static(N: int, cur: int):
+    idx = np.arange(N, dtype=np.uint32)
+    right = (idx & (cur - 1)) >= (cur // 2)
+    active = idx < (cur // 2)
+    return jnp.asarray(right), jnp.asarray(active)
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _round_scalars_sharded(fr: df.FieldSpec, a, b, gm, hm, qw,
+                           cur: int, M: int):
+    """`_round_scalars` with static `cur`; structural periodic gathers.
+
+    a_up[idx] = a[(idx mod cur) + m] (valid on the left half of each
+    period) reads the global [m, cur) prefix; a_dn[idx] = a[(idx mod
+    cur) - m] (valid on the right half) reads the global [0, m) prefix —
+    both expressed as tile(concat(...)) so the operand slices are
+    static and GSPMD only moves the O(cur) live prefix.
+    """
+    N = a.shape[0]
+    m = cur // 2
+    right, active = _masks_static(N, cur)
+    reps = N // cur
+    zero_blk = jnp.zeros((m, N_LIMBS), U32)
+
+    def up(x):  # x[(idx mod cur) + m], left halves
+        return jnp.tile(
+            jnp.concatenate([x[m:cur], zero_blk], axis=0), (reps, 1)
+        )
+
+    def dn(x):  # x[(idx mod cur) - m], right halves
+        return jnp.tile(
+            jnp.concatenate([zero_blk, x[:m]], axis=0), (reps, 1)
+        )
+
+    return _rows_math(fr, a, b, gm, hm, qw, up(a), up(b), dn(a), dn(b),
+                      right, active, M)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def _fold_sharded(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, cur: int):
+    """`_fold` with static `cur`: the a[idx+m] shift is a static slice
+    (GSPMD: collective-permute), masks are constants."""
+    N = a.shape[0]
+    m = cur // 2
+    right, active = _masks_static(N, cur)
+    zero_blk = jnp.zeros((m, N_LIMBS), U32)
+    a_up = jnp.concatenate([a[m:], zero_blk], axis=0)
+    b_up = jnp.concatenate([b[m:], zero_blk], axis=0)
+    return _fold_math(fr, a, b, gm, hm, u, u_inv, a_up, b_up,
+                      right, active)
 
 
 # L and R ride the batched-scalar-set mode of msm_impl: one program,
@@ -125,13 +195,41 @@ class IpaDeviceProver:
         self.hm = mont(H_factors)
         self.c = dmsm._window_bits(self.M)
 
+        # Mesh-sharded vector phase: shard the length-N witness/weight
+        # state itself (SURVEY.md §5 "sharded length-n") when an engine
+        # mesh divides N; rounds then run the static-`cur` programs and
+        # GSPMD moves only the live prefix between devices.
+        from .. import engine as _engine
+
+        mesh = _engine.active_mesh()
+        self._sharded = (
+            mesh is not None
+            and mesh.devices.size > 1
+            and N > 0
+            and N % mesh.devices.size == 0
+        )
+        if self._sharded:
+            from ..parallel.mesh import data_sharding
+
+            sh = data_sharding(mesh)
+            self.a, self.b, self.gm, self.hm = (
+                jax.device_put(x, sh)
+                for x in (self.a, self.b, self.gm, self.hm)
+            )
+            self._one = df.mont_one(self.fr, ())
+
     def round_commit(self, cur: int):
         """Compute (L, R) host affine points for the current round."""
-        m = jnp.uint32(cur // 2)
-        curm1 = jnp.uint32(cur - 1)
-        scal2 = _round_scalars(
-            self.fr, self.a, self.b, self.gm, self.hm, m, curm1, self.M
-        )
+        if self._sharded:
+            scal2 = _round_scalars_sharded(
+                self.fr, self.a, self.b, self.gm, self.hm, self._one,
+                cur, self.M,
+            )
+        else:
+            scal2 = _round_scalars(
+                self.fr, self.a, self.b, self.gm, self.hm,
+                jnp.uint32(cur // 2), jnp.uint32(cur - 1), self.M,
+            )
         pts = _msm_pair(self.spec, self.c, self.X, self.Y, self.inf, scal2)
         L = dc.jacobian_to_host(self.curve, tuple(c[0] for c in pts))
         R = dc.jacobian_to_host(self.curve, tuple(c[1] for c in pts))
@@ -141,11 +239,17 @@ class IpaDeviceProver:
         p, R = self.curve.fr.p, self.curve.fr.R
         u_l = ints_to_limbs([u * R % p])[0]
         ui_l = ints_to_limbs([u_inv * R % p])[0]
-        self.a, self.b, self.gm, self.hm = _fold(
-            self.fr, self.a, self.b, self.gm, self.hm,
-            jnp.asarray(u_l), jnp.asarray(ui_l),
-            jnp.uint32(cur // 2), jnp.uint32(cur - 1),
-        )
+        if self._sharded:
+            self.a, self.b, self.gm, self.hm = _fold_sharded(
+                self.fr, self.a, self.b, self.gm, self.hm,
+                jnp.asarray(u_l), jnp.asarray(ui_l), cur,
+            )
+        else:
+            self.a, self.b, self.gm, self.hm = _fold(
+                self.fr, self.a, self.b, self.gm, self.hm,
+                jnp.asarray(u_l), jnp.asarray(ui_l),
+                jnp.uint32(cur // 2), jnp.uint32(cur - 1),
+            )
 
     def final_ab(self) -> tuple[int, int]:
         from .limbs import limbs_to_int
@@ -179,22 +283,10 @@ def _round_scalars_batch(fr: df.FieldSpec, A, Bv, GM, HM, QW, m, curm1,
     return jax.vmap(one)(A, Bv, GM, HM, QW)
 
 
-def _round_scalars_mont(fr, a, b, gm, hm, qw, m, curm1, M):
-    """Body shared with `_round_scalars`, with a Q-column factor."""
-    N = a.shape[0]
-    idx = jnp.arange(N, dtype=U32)
-    i = idx & curm1
-    right = i >= m
+def _rows_math(fr, a, b, gm, hm, qw, a_up, b_up, a_dn, b_dn,
+               right, active, M):
+    """Shared round-scalar body: callers supply gathers + masks."""
     left = ~right
-    active = idx < m
-
-    up_idx = (i + m).astype(jnp.int32)
-    a_up = jnp.take(a, up_idx, axis=0, mode="clip")
-    b_up = jnp.take(b, up_idx, axis=0, mode="clip")
-    dn_idx = jnp.maximum(i.astype(jnp.int32) - m.astype(jnp.int32), 0)
-    a_dn = jnp.take(a, dn_idx, axis=0, mode="clip")
-    b_dn = jnp.take(b, dn_idx, axis=0, mode="clip")
-
     prods = df.mont_mul(
         fr,
         jnp.stack([a_dn, b_up, a_up, b_dn, a, a_up]),
@@ -209,10 +301,29 @@ def _round_scalars_mont(fr, a, b, gm, hm, qw, m, curm1, M):
     c_R = df.sum_mod(fr, df.select(active, prods[5], zero))
     c_LR = df.mont_mul(fr, jnp.stack([c_L, c_R]), jnp.stack([qw, qw]))
 
+    N = a.shape[0]
     pad = jnp.zeros((M - 2 * N - 1, N_LIMBS), U32)
     row_L = jnp.concatenate([gw_L, hw_L, c_LR[0][None], pad], axis=0)
     row_R = jnp.concatenate([gw_R, hw_R, c_LR[1][None], pad], axis=0)
     return df.from_mont(fr, jnp.stack([row_L, row_R]))
+
+
+def _round_scalars_mont(fr, a, b, gm, hm, qw, m, curm1, M):
+    """Body shared with `_round_scalars`, with a Q-column factor."""
+    N = a.shape[0]
+    idx = jnp.arange(N, dtype=U32)
+    i = idx & curm1
+    right = i >= m
+    active = idx < m
+
+    up_idx = (i + m).astype(jnp.int32)
+    a_up = jnp.take(a, up_idx, axis=0, mode="clip")
+    b_up = jnp.take(b, up_idx, axis=0, mode="clip")
+    dn_idx = jnp.maximum(i.astype(jnp.int32) - m.astype(jnp.int32), 0)
+    a_dn = jnp.take(a, dn_idx, axis=0, mode="clip")
+    b_dn = jnp.take(b, dn_idx, axis=0, mode="clip")
+    return _rows_math(fr, a, b, gm, hm, qw, a_up, b_up, a_dn, b_dn,
+                      right, active, M)
 
 
 @partial(jax.jit, static_argnums=(0,))

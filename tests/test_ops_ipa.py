@@ -37,6 +37,46 @@ def test_sum_dot_mod():
     assert limbs_to_int(d) == want * R % f.p
 
 
+def test_sharded_round_fns_match_dynamic():
+    """The static-`cur` mesh variants (`_round_scalars_sharded`,
+    `_fold_sharded`) must be bit-identical to the dynamic single-chip
+    programs for every round size (SURVEY.md §5 sharded length-n)."""
+    import random
+
+    import jax.numpy as jnp
+
+    from ark_bulletproofs_tpu.ops import ipa as dipa
+
+    f = secq256k1_fr
+    spec = df.spec_for(f)
+    rng = random.Random(11)
+    N, M = 16, 64
+    R = f.R
+
+    def randv():
+        return jnp.asarray(
+            ints_to_limbs([rng.randrange(f.p) * R % f.p for _ in range(N)])
+        )
+
+    a, b, gm, hm = randv(), randv(), randv(), randv()
+    one = df.mont_one(spec, ())
+    u = jnp.asarray(ints_to_limbs([rng.randrange(f.p) * R % f.p]))[0]
+    ui = jnp.asarray(ints_to_limbs([rng.randrange(f.p) * R % f.p]))[0]
+
+    cur = N
+    while cur >= 2:
+        m, curm1 = jnp.uint32(cur // 2), jnp.uint32(cur - 1)
+        want = dipa._round_scalars(spec, a, b, gm, hm, m, curm1, M)
+        got = dipa._round_scalars_sharded(spec, a, b, gm, hm, one, cur, M)
+        assert np.array_equal(np.asarray(want), np.asarray(got)), cur
+        wf = dipa._fold(spec, a, b, gm, hm, u, ui, m, curm1)
+        gf = dipa._fold_sharded(spec, a, b, gm, hm, u, ui, cur)
+        for w, g in zip(wf, gf):
+            assert np.array_equal(np.asarray(w), np.asarray(g)), cur
+        a, b, gm, hm = wf
+        cur //= 2
+
+
 @pytest.mark.heavy
 def test_ipa_device_matches_host(monkeypatch):
     n = 64
