@@ -29,6 +29,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--curve", default="secq256k1")
     ap.add_argument("--kmax", type=int, default=1024)
+    ap.add_argument("--only", type=int, default=0,
+                    help="measure a single k (skips the sweep)")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
@@ -37,7 +39,9 @@ def main() -> None:
     curve = curves.ALL_CURVES[args.curve]
     pc = PedersenGens.default(curve)
 
-    k = 2
+    k = args.only or 2
+    if args.only:
+        args.kmax = args.only
     while k <= args.kmax:
         bp = BulletproofGens(curve, 2 * k, 1)
         rng = seeded_rng(k)
