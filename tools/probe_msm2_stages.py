@@ -180,6 +180,25 @@ def stageE3(T1, EC, valid):
     return dpj.add(spec, T1, EC)
 
 
+@jax.jit
+def stageE2b(pos, lX, lY, lZ, excl_col):
+    """E2 variant: physically transpose locals to point-major once
+    (bandwidth-bound), then 64-byte-row gathers (dispatch ~6 ns/row)
+    instead of strided middle-axis gathers."""
+    valid = (jnp.arange(S, dtype=U32)[None, :] >= 1) & (pos < n)
+    posc = jnp.minimum(pos, n - 1).astype(jnp.int32)
+    colj = posc // R
+    rj = posc % R
+    lanej = jnp.arange(BW, dtype=jnp.int32)[:, None] * C + colj
+    flat = (rj * L + lanej).reshape(-1)
+    T1 = tuple(
+        a.transpose(0, 2, 1).reshape(R * L, NL)[flat].reshape(BW, S, NL)
+        for a in (lX, lY, lZ)
+    )
+    EC = _tmap(lambda a: a[jnp.arange(BW)[:, None], colj], excl_col)
+    return T1, EC, valid
+
+
 order, sd = tm("A digits+sort  ", stageA, scal)
 gxy = tm("B gather/layout", stageB, X, Y, inf, order)
 lX, lY, lZ = tm("C madd scan    ", stageC, gxy)
@@ -187,6 +206,7 @@ excl_col = tm("D col carries  ", stageD, lX, lY, lZ)
 U = tm("E bucket gather", stageE, sd, lX, lY, lZ, excl_col)
 pos = tm("  E1 searchsort", stageE1, sd)
 T1EC = tm("  E2 gathers   ", stageE2, pos, lX, lY, lZ, excl_col)
+_ = tm("  E2b transp+rg", stageE2b, pos, lX, lY, lZ, excl_col)
 _ = tm("  E3 sel+add   ", stageE3, *T1EC)
 (wsum, L2) = tm("F rowsum       ", stageF, U)
 acc = tm("G horner       ", stageG, wsum, L2)

@@ -26,6 +26,9 @@ timeout 2400 python -u benches/bench_ipa_batch.py 128 64 2>&1 | tail -3
 echo "=== 6. batch verify (n proofs = 64, k = 8)"
 timeout 2400 python -u benches/bench_batch_verify.py --n 64 --k 8 2>&1 | tail -3
 
+echo "=== 6b. batch verify at BASELINE scale (1024 proofs, k = 8)"
+timeout 3600 python -u benches/bench_batch_verify.py --n 1024 --k 8 --iters 1 2>&1 | tail -3
+
 echo "=== 7. TPU-backend shuffle prove/verify at k=1024 (reference parity row)"
 timeout 3000 python -u benches/bench_shuffle.py --backend jax --only 1024 2>&1 | tail -4
 
