@@ -131,12 +131,20 @@ def _gh_scalars(fr, padded_n: int, lg_n: int,
 def gh_scalars(curve, padded_n: int, wL, wR, wO,
                y_inv: int, u: int, x: int, a: int, b: int,
                u_sq: list[int], allinv: int, n1: int,
-               mont_out: bool = False):
+               mont_out: bool = False, delta_host: bool = False):
     """Host wrapper: int inputs -> device (g, h) limb arrays + delta int.
 
     g/h stay on device (returned as jax arrays, canonical unless
     mont_out) for direct MSM feeding; delta returns as a host int for
     the B-coefficient formula.
+
+    `delta_host=True` computes delta = <y^-n ∘ wR, wL> (reference
+    verifier.rs:473) with host ints instead of FETCHING the device
+    value: `np.asarray(delta)` is a blocking device sync (one ~29 ms
+    tunnel RPC — and in batch_verify it serializes the whole per-proof
+    pipeline, 1024 blocking syncs per batch). The host dot is O(n)
+    small-int mults (~0.2 us/term), cheaper than one sync up to
+    n ~ 10^5.
     """
     from .limbs import limbs_to_int
 
@@ -157,6 +165,13 @@ def gh_scalars(curve, padded_n: int, wL, wR, wO,
         ints_to_limbs(list(u_sq)) if u_sq else np.zeros((0, 16), np.uint32),
         one(allinv), jnp.uint32(n1), mont_out,
     )
+    if delta_host:
+        p = curve.fr.p
+        acc, yi = 0, 1
+        for wRi, wLi in zip(wR, wL):
+            acc = (acc + wRi * yi % p * wLi) % p
+            yi = yi * y_inv % p
+        return g, h, acc
     return g, h, limbs_to_int(np.asarray(delta))
 
 

@@ -361,7 +361,7 @@ class Verifier(RandomizableConstraintSystem):
         g_dev, h_dev, delta = dverify.gh_scalars(
             curve, padded_n, ing["wL"], ing["wR"], ing["wO"],
             fr.inv(ing["y"]), ing["u"], ing["x"], ing["a"], ing["b"],
-            ing["u_sq"], ing["allinv"], ing["n1"],
+            ing["u_sq"], ing["allinv"], ing["n1"], delta_host=True,
         )
         head, tail = self._head_tail_scalars(ing, proof, p, delta)
 
@@ -537,6 +537,7 @@ def _batch_verify_device(
             curve, padded_n, ing["wL"], ing["wR"], ing["wO"],
             fr.inv(ing["y"]), ing["u"], ing["x"], ing["a"], ing["b"],
             ing["u_sq"], ing["allinv"], ing["n1"], mont_out=True,
+            delta_host=True,
         )
         head, tail = verifier._head_tail_scalars(ing, proof, p, delta)
         alpha = fr.rand(prng)
