@@ -157,9 +157,22 @@ def main() -> None:
         to_host = dc.point_to_host
 
     # compile + self-check against the exact host Pippenger
+    v2_failed = False
     out = run()
     jax.block_until_ready(out)
     got = to_host(curve, out)
+    if got != want and use_v2:
+        # v2 mega-kernel self-check failed: fall back to the v1 path
+        # (independently hardware-validated) and SAY SO in the output
+        # rather than producing no number at all.
+        v2_failed = True
+        use_v2 = False
+        c = dmsm._window_bits(n)
+        run = lambda: dmsm.msm_device(spec, c, X, Y, inf, scal)  # noqa: E731
+        to_host = dc.point_to_host
+        out = run()
+        jax.block_until_ready(out)
+        got = to_host(curve, out)
     if got != want:
         print(
             json.dumps(
@@ -190,6 +203,8 @@ def main() -> None:
     }
     if tunnel_down:
         rec["tunnel_down"] = True  # TPU relay wedged; CPU fallback run
+    if v2_failed:
+        rec["v2_selfcheck_failed"] = True  # timed the v1 path instead
     print(json.dumps(rec))
 
 
