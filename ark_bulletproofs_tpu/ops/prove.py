@@ -107,8 +107,26 @@ class ProverVectorPhase:
         self.padded_n = padded_n
         lg_n = max((padded_n - 1).bit_length(), 1)
 
+        # Mesh-sharded vector phase (SURVEY.md §5 "sharded length-n"):
+        # the l/r/t pipeline is elementwise plus per-dot reductions, so
+        # sharding the padded_n axis needs no restructuring — GSPMD
+        # splits the elementwise work and psums the nine t-dot partials.
+        from .. import engine as _engine
+
+        mesh = _engine.active_mesh()
+        shard = (
+            mesh is not None
+            and mesh.devices.size > 1
+            and padded_n % mesh.devices.size == 0
+        )
+        if shard:
+            from ..parallel.mesh import data_sharding
+
+            sh = data_sharding(mesh)
+
         def vec(v):
-            return ints_to_limbs(list(v) + [0] * (padded_n - len(v)))
+            arr = ints_to_limbs(list(v) + [0] * (padded_n - len(v)))
+            return jax.device_put(arr, sh) if shard else arr
 
         def one(v):
             return ints_to_limbs([v])[0]

@@ -221,3 +221,37 @@ def test_mesh_ipa_device_matches_host(engine_mesh):
     assert dev_proof.R_vec == host_proof.R_vec
     assert dev_proof.a == host_proof.a
     assert dev_proof.b == host_proof.b
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs an 8-device mesh")
+def test_mesh_prover_vector_phase_matches_unsharded(engine_mesh):
+    """ProverVectorPhase with mesh-sharded padded_n vectors is
+    bit-identical to the single-device run (SURVEY.md §5 sharded
+    length-n: elementwise l/r/t work splits, t-dot partials psum)."""
+    import numpy as np
+
+    from ark_bulletproofs_tpu import engine
+    from ark_bulletproofs_tpu.ops.prove import ProverVectorPhase
+
+    curve = curves.secq256k1
+    f = curve.fr
+    rng = random.Random(77)
+    n, padded_n = 200, 256
+    vecs = [
+        [rng.randrange(f.p) for _ in range(n)] for _ in range(8)
+    ]
+    y = rng.randrange(1, f.p)
+    y_inv = f.inv(y)
+    x = rng.randrange(1, f.p)
+
+    sharded = ProverVectorPhase(curve, padded_n, *vecs, y, y_inv)
+    ls, rs = sharded.eval_lr(x)
+    engine.set_mesh(None)
+    try:
+        plain = ProverVectorPhase(curve, padded_n, *vecs, y, y_inv)
+        lp, rp = plain.eval_lr(x)
+    finally:
+        engine.set_mesh(engine_mesh)
+    assert sharded.t == plain.t
+    assert np.array_equal(np.asarray(ls), np.asarray(lp))
+    assert np.array_equal(np.asarray(rs), np.asarray(rp))
