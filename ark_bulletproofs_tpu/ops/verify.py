@@ -152,8 +152,28 @@ def gh_scalars(curve, padded_n: int, wL, wR, wO,
     lg_n = padded_n.bit_length() - 1
     assert len(u_sq) == lg_n
 
+    # Mesh-sharded scalar pipeline for LARGE single proofs (SURVEY.md
+    # §5 sharded length-n): the g/h math is elementwise over padded_n,
+    # so annotating the w-vector inputs lets GSPMD split it; small
+    # batch-verify proofs stay replicated (sharding 16-row vectors over
+    # a mesh costs more in collectives than it saves).
+    from .. import engine as _engine
+
+    mesh = _engine.active_mesh()
+    shard = (
+        mesh is not None
+        and mesh.devices.size > 1
+        and padded_n >= 4096
+        and padded_n % mesh.devices.size == 0
+    )
+    if shard:
+        from ..parallel.mesh import data_sharding
+
+        sh = data_sharding(mesh)
+
     def vec(v):
-        return ints_to_limbs(list(v) + [0] * (padded_n - len(v)))
+        arr = ints_to_limbs(list(v) + [0] * (padded_n - len(v)))
+        return jax.device_put(arr, sh) if shard else arr
 
     def one(v):
         return ints_to_limbs([v])[0]

@@ -255,3 +255,37 @@ def test_mesh_prover_vector_phase_matches_unsharded(engine_mesh):
     assert sharded.t == plain.t
     assert np.array_equal(np.asarray(ls), np.asarray(lp))
     assert np.array_equal(np.asarray(rs), np.asarray(rp))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs an 8-device mesh")
+def test_mesh_gh_scalars_match_unsharded(engine_mesh):
+    """gh_scalars with mesh-sharded w-vectors (padded_n >= 4096) is
+    bit-identical to the single-device pipeline."""
+    import numpy as np
+
+    from ark_bulletproofs_tpu import engine
+    from ark_bulletproofs_tpu.ops import verify as dverify
+
+    curve = curves.secq256k1
+    f = curve.fr
+    rng = random.Random(31)
+    padded_n, lg_n, n1 = 4096, 12, 100
+    wL, wR, wO = ([rng.randrange(f.p) for _ in range(padded_n)]
+                  for _ in range(3))
+    args = (
+        curve, padded_n, wL, wR, wO,
+        rng.randrange(1, f.p), rng.randrange(1, f.p),
+        rng.randrange(1, f.p), rng.randrange(1, f.p),
+        rng.randrange(1, f.p),
+        [rng.randrange(1, f.p) for _ in range(lg_n)],
+        rng.randrange(1, f.p), n1,
+    )
+    gs, hs, ds = dverify.gh_scalars(*args, delta_host=True)
+    engine.set_mesh(None)
+    try:
+        gp, hp, dp = dverify.gh_scalars(*args, delta_host=True)
+    finally:
+        engine.set_mesh(engine_mesh)
+    assert ds == dp
+    assert np.array_equal(np.asarray(gs), np.asarray(gp))
+    assert np.array_equal(np.asarray(hs), np.asarray(hp))
