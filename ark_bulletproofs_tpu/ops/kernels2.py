@@ -55,9 +55,16 @@ _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
 def _rd_s(ref):
-    """(NL, B) scratch ref -> list of NL (B,) vectors."""
-    x = ref[:]
-    return [x[i] for i in range(NL)]
+    """(NL, B) scratch ref -> list of NL (B,) vectors.
+
+    Indexes the ref row-by-row rather than loading the whole block and
+    slicing: rows sliced from a full scratch load, fed through the
+    group-law body as a fori carry, abort Mosaic's layout inference
+    (layout.h:320 `arr.size() >= layout_rank(implicit_dim)`, hard
+    SIGABRT — isolated on v5e 2026-08-19). Per-row ref loads lower
+    cleanly and cost the same VMEM traffic.
+    """
+    return [ref[i] for i in range(NL)]
 
 
 def _wr_s(ref, limbs):
@@ -118,9 +125,14 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
         # (unrolled, Mosaic took ~350 s/shape; ~60 s with the loop).
         def body(t, P):
             j = rows - 1 - t
-            v = xy_ref[pl.ds(j, 1)][0]
-            qx = [v[i] & jnp.uint32(0xFFFF) for i in range(NL)]
-            qy = [v[i] >> 16 for i in range(NL)]
+            # Per-limb 1-D ref loads: limb rows SLICED out of a 2-D
+            # block load abort Mosaic's layout inference when fed
+            # through the group-law body (layout.h:320 `arr.size() >=
+            # layout_rank(implicit_dim)`, hard SIGABRT — isolated on
+            # v5e 2026-08-19); direct (block,) loads lower cleanly and
+            # compile ~40% faster.
+            qx = [xy_ref[j, i] & jnp.uint32(0xFFFF) for i in range(NL)]
+            qy = [xy_ref[j, i] >> 16 for i in range(NL)]
             qi = qy[0]
             for i in range(1, NL):
                 qi = qi | qy[i]
