@@ -17,18 +17,24 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc", "abtpu_host.cpp")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+_SRCS = [
+    os.path.join(_CSRC, "abtpu_host.cpp"),
+    os.path.join(_CSRC, "abtpu_msm_cpu.cpp"),
+]
 _OUT_DIR = os.path.join(os.path.dirname(__file__), "_build")
 _OUT = os.path.join(_OUT_DIR, "libabtpu_host.so")
 
 
 def _build() -> str | None:
-    if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
+    if os.path.exists(_OUT) and all(
+        os.path.getmtime(_OUT) >= os.path.getmtime(s) for s in _SRCS
+    ):
         return _OUT
     os.makedirs(_OUT_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _OUT, _SRC,
+        "-o", _OUT, *_SRCS,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -68,6 +74,15 @@ def lib():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_uint64,
             ]
+            L.abtpu_cpu_pippenger.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_uint64,
+                ctypes.c_uint32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             _lib = L
         except Exception:
             _lib = None
@@ -101,3 +116,48 @@ def sha3_native(data: bytes, rate: int, domain: int, out_len: int) -> bytes | No
     out = (ctypes.c_uint8 * out_len)()
     L.abtpu_sha3(data, len(data), rate, domain, out, out_len)
     return bytes(out)
+
+
+def cpu_pippenger_marshal(pts, scalars):
+    """Pack points/scalars into the raw byte buffers the C++ MSM takes."""
+    n = len(pts)
+    xs = bytearray(32 * n)
+    ys = bytearray(32 * n)
+    inf = bytearray(n)
+    ss = bytearray(32 * n)
+    for i, P in enumerate(pts):
+        if P is None:
+            inf[i] = 1
+        else:
+            xs[32 * i:32 * i + 32] = P[0].to_bytes(32, "little")
+            ys[32 * i:32 * i + 32] = P[1].to_bytes(32, "little")
+    for i, k in enumerate(scalars):
+        ss[32 * i:32 * i + 32] = k.to_bytes(32, "little")
+    return bytes(xs), bytes(ys), bytes(inf), bytes(ss), n
+
+
+def cpu_pippenger_raw(xs, ys, inf, ss, n, c: int = 0):
+    """Run the C++ Pippenger on pre-marshalled buffers → Jacobian ints."""
+    L = lib()
+    if L is None:
+        return None
+    out = (ctypes.c_uint8 * 96)()
+    L.abtpu_cpu_pippenger(xs, ys, inf, ss, n, c, out)
+    raw = bytes(out)
+    return (
+        int.from_bytes(raw[:32], "little"),
+        int.from_bytes(raw[32:64], "little"),
+        int.from_bytes(raw[64:96], "little"),
+    )
+
+
+def cpu_pippenger_native(pts, scalars, c: int = 0):
+    """Single-core C++ Pippenger over secq256k1 (the measured CPU baseline).
+
+    `pts`: list of (x, y) affine ints or None for infinity; `scalars`:
+    list of ints. Returns the Jacobian result as (X, Y, Z) ints, or None
+    when the native library is unavailable.
+    """
+    if lib() is None:
+        return None
+    return cpu_pippenger_raw(*cpu_pippenger_marshal(pts, scalars), c=c)

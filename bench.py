@@ -80,7 +80,20 @@ def _workload(curve, n, ks):
         from ark_bulletproofs_tpu.generators import GeneratorsChain
 
         pts = GeneratorsChain(curve, b"bench").take(n)
-    want = curve.msm(pts, ks)
+    # Exact reference result: the single-core C++ Pippenger when available
+    # (independently validated vs the pure-Python Pippenger in
+    # tests/test_native_msm.py; ~100x faster at 2^20), else pure Python.
+    want = None
+    if curve.name == "secq256k1":
+        from ark_bulletproofs_tpu import native
+
+        jac = native.cpu_pippenger_native(pts, ks)
+        if jac is not None:
+            X, Y, Z = jac
+            zi = pow(Z, -1, curve.fq.p)
+            want = (X * zi * zi % curve.fq.p, Y * zi * zi * zi % curve.fq.p)
+    if want is None:
+        want = curve.msm(pts, ks)
     xs = np.stack(
         [np.frombuffer(P[0].to_bytes(32, "little"), np.uint8) for P in pts]
     )
