@@ -231,9 +231,8 @@ class IpaDeviceProver:
                 jnp.uint32(cur // 2), jnp.uint32(cur - 1), self.M,
             )
         pts = _msm_pair(self.spec, self.c, self.X, self.Y, self.inf, scal2)
-        L = dc.jacobian_to_host(self.curve, tuple(c[0] for c in pts))
-        R = dc.jacobian_to_host(self.curve, tuple(c[1] for c in pts))
-        return L, R
+        host = dc.jacobian_batch_to_host(self.curve, jnp.stack(pts))
+        return host[0], host[1]
 
     def fold(self, cur: int, u: int, u_inv: int):
         p, R = self.curve.fr.p, self.curve.fr.R
@@ -387,16 +386,10 @@ class IpaBatchProver:
         )  # (P, 2, M, 16)
         scal = rows.reshape(2 * self.P, self.M, N_LIMBS)
         pts = _msm_pair(self.spec, self.c, self.X, self.Y, self.inf, scal)
-        out = []
-        for b in range(self.P):
-            L = dc.jacobian_to_host(
-                self.curve, tuple(c[2 * b] for c in pts)
-            )
-            R = dc.jacobian_to_host(
-                self.curve, tuple(c[2 * b + 1] for c in pts)
-            )
-            out.append((L, R))
-        return out
+        # ONE fetch for all 2P points (per-point fetches are ~29 ms
+        # tunnel RPCs each — see jacobian_batch_to_host).
+        host = dc.jacobian_batch_to_host(self.curve, jnp.stack(pts))
+        return [(host[2 * b], host[2 * b + 1]) for b in range(self.P)]
 
     def fold(self, cur: int, us: list[int], u_invs: list[int]):
         p, R = self.curve.fr.p, self.curve.fr.R

@@ -71,6 +71,23 @@ def _wr_s(ref, limbs):
     ref[:] = jnp.stack(limbs)
 
 
+def _rd_rows(x_ref, y_ref, z_ref, j):
+    """Row j of three (rows, NL, block) input refs as per-limb vectors.
+
+    Direct (block,) loads per limb, uniform across all kernels: the
+    2-D-slice-then-index form (`x_ref[pl.ds(j,1)][0]` then `x[i]`)
+    compiled on v5e for jac_scan/rowsum/horner but the same shape fed
+    through a SCRATCH fori-carry hard-SIGABRTs Mosaic layout inference
+    (layout.h:320, isolated 2026-08-19 on the madd path), and per-row
+    loads compile ~40% faster besides — so every kernel uses them.
+    """
+    return (
+        [x_ref[j, i] for i in range(NL)],
+        [y_ref[j, i] for i in range(NL)],
+        [z_ref[j, i] for i in range(NL)],
+    )
+
+
 def _init_identity(cs, ax, ay, az):
     """Scratch accumulators <- projective identity (0 : 1 : 0)."""
     ax[:] = jnp.zeros_like(ax)
@@ -125,12 +142,9 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
         # (unrolled, Mosaic took ~350 s/shape; ~60 s with the loop).
         def body(t, P):
             j = rows - 1 - t
-            # Per-limb 1-D ref loads: limb rows SLICED out of a 2-D
-            # block load abort Mosaic's layout inference when fed
-            # through the group-law body (layout.h:320 `arr.size() >=
-            # layout_rank(implicit_dim)`, hard SIGABRT — isolated on
-            # v5e 2026-08-19); direct (block,) loads lower cleanly and
-            # compile ~40% faster.
+            # Per-limb 1-D ref loads (see _rd_rows: the sliced-2-D form
+            # SIGABRTs Mosaic when combined with this kernel's scratch
+            # fori-carry, and per-row loads compile ~40% faster).
             qx = [xy_ref[j, i] & jnp.uint32(0xFFFF) for i in range(NL)]
             qy = [xy_ref[j, i] >> 16 for i in range(NL)]
             qi = qy[0]
@@ -202,14 +216,7 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512,
             ex[pl.ds(j, 1)] = jnp.stack(P[0])[None]
             ey[pl.ds(j, 1)] = jnp.stack(P[1])[None]
             ez[pl.ds(j, 1)] = jnp.stack(P[2])[None]
-            x = x_ref[pl.ds(j, 1)][0]
-            y = y_ref[pl.ds(j, 1)][0]
-            z = z_ref[pl.ds(j, 1)][0]
-            Q = (
-                [x[i] for i in range(NL)],
-                [y[i] for i in range(NL)],
-                [z[i] for i in range(NL)],
-            )
+            Q = _rd_rows(x_ref, y_ref, z_ref, j)
             X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
             return (list(X3), list(Y3), list(Z3))
 
@@ -264,14 +271,7 @@ def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512,
             _init_identity(cs, ax, ay, az)
 
         def body(j, P):
-            x = x_ref[pl.ds(j, 1)][0]
-            y = y_ref[pl.ds(j, 1)][0]
-            z = z_ref[pl.ds(j, 1)][0]
-            Q = (
-                [x[i] for i in range(NL)],
-                [y[i] for i in range(NL)],
-                [z[i] for i in range(NL)],
-            )
+            Q = _rd_rows(x_ref, y_ref, z_ref, j)
             X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
             return (list(X3), list(Y3), list(Z3))
 
@@ -326,14 +326,7 @@ def horner_windows(cs: CurveSpec, pX, pY, pZ, c: int, block: int = 128):
         def wstep(t, P):
             P = jax.lax.fori_loop(0, c, dbl, P)
             j = W - 1 - t
-            x = x_ref[pl.ds(j, 1)][0]
-            y = y_ref[pl.ds(j, 1)][0]
-            z = z_ref[pl.ds(j, 1)][0]
-            Q = (
-                [x[i] for i in range(NL)],
-                [y[i] for i in range(NL)],
-                [z[i] for i in range(NL)],
-            )
+            Q = _rd_rows(x_ref, y_ref, z_ref, j)
             X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
             return (list(X3), list(Y3), list(Z3))
 

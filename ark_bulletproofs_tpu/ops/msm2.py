@@ -41,8 +41,12 @@ from .limbs import N_LIMBS
 U32 = jnp.uint32
 NL = N_LIMBS
 SCALAR_BITS = 256
-C_COLS = 1024  # fixed column count: L = BW * C lanes for the scan kernel
+C_COLS = 1024  # column count cap: L = BW * C lanes for the scan kernel
 C1, C2 = 16, 64  # two-level split of the column-carry suffix (C1*C2 = C)
+V2_MIN_N = 256  # smallest n: C = min(C_COLS, n) columns, R = n/C rows.
+# Small-n support exists for BATCHED scalar sets (e.g. the IPA batch
+# prover's (2P, 257)-shaped round MSMs): B*W rows of a small sort keep
+# the scan lanes saturated even when one set alone wouldn't.
 
 
 def _log2(x: int) -> int:
@@ -123,12 +127,13 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
     ops/proj.py::point_to_host."""
     n = X.shape[0]
     lg = _log2(n)
-    assert n == 1 << lg and n >= C_COLS
+    assert n == 1 << lg and n >= V2_MIN_N
     assert c + lg <= 32
     B = scal.shape[0] if scal.ndim == 3 else 1
     W = -(-SCALAR_BITS // c)  # ceil
     BW = B * W
-    C = C_COLS
+    C = min(C_COLS, n)
+    c1, c2 = 16, C // 16  # two-level column-carry split (c1 * c2 = C)
     R = n // C
     L = BW * C
     S = 1 << c
@@ -157,29 +162,29 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
     tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
 
     # --- 4: two-level exclusive column-carry suffix -----------------
-    # col = c1*C2 + c2; level A scans c2 within each chunk
-    t4 = _tmap(lambda a: a.reshape(NL, BW, C1, C2), tot)
+    # col = i1*c2 + i2; level A scans i2 within each chunk
+    t4 = _tmap(lambda a: a.reshape(NL, BW, c1, c2), tot)
     lvlA_in = _tmap(
-        lambda a: a.transpose(3, 0, 1, 2).reshape(C2, NL, BW * C1), t4
+        lambda a: a.transpose(3, 0, 1, 2).reshape(c2, NL, BW * c1), t4
     )
     lvlA_in, La = _pad_lanes(lvlA_in, 512)
     e2x, e2y, e2z, ctx, cty, ctz = k2.suffix_jac_scan(spec, *lvlA_in)
-    # chunk totals -> point-major (BW, C1, 16), small HS suffix
+    # chunk totals -> point-major (BW, c1, 16), small HS suffix
     ct = _tmap(
-        lambda a: a[:, :La].reshape(NL, BW, C1).transpose(1, 2, 0),
+        lambda a: a[:, :La].reshape(NL, BW, c1).transpose(1, 2, 0),
         (ctx, cty, ctz),
     )
-    ce = _excl_suffix_small(spec, ct, C1)  # (BW, C1, 16) chunk carries
+    ce = _excl_suffix_small(spec, ct, c1)  # (BW, c1, 16) chunk carries
     # within-chunk exclusive, point-major (BW, C) layout (col-ordered)
     e2 = _tmap(
         lambda a: a[:, :, :La]
-        .reshape(C2, NL, BW, C1)
+        .reshape(c2, NL, BW, c1)
         .transpose(2, 3, 0, 1)
         .reshape(BW, C, NL),
         (e2x, e2y, e2z),
     )
     ceb = _tmap(
-        lambda a: jnp.broadcast_to(a[:, :, None, :], (BW, C1, C2, NL)).reshape(
+        lambda a: jnp.broadcast_to(a[:, :, None, :], (BW, c1, c2, NL)).reshape(
             BW, C, NL
         ),
         ce,

@@ -69,29 +69,19 @@ def _s_vector(fr, u_sq, allinv, n: int, lg_n: int):
     return v
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 14))
-def _gh_scalars(fr, padded_n: int, lg_n: int,
-                wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1,
-                mont_out: bool = False):
-    """Device g/h scalar vectors + delta for one proof.
+def _gh_formulas(fr, padded_n: int, lg_n: int,
+                 wLm, wRm, wOm, y_inv_m, u_m, x_m, a_m, b_m,
+                 u_sq_m, allinv_m, n1):
+    """g/h scalar formulas for ONE proof, all-Montgomery in and out.
 
-    wL/wR/wO: (padded_n, 16) CANONICAL limbs (zero-padded); scalars
-    y_inv/u/x/a/b/allinv: (16,) canonical; u_sq: (lg_n, 16) canonical.
-    n1: dynamic phase-1 multiplier count.
-    Returns (g, h) canonical (padded_n, 16) and delta (16,) canonical.
+    Shared by the single-proof jit (`_gh_scalars`) and the vmapped
+    per-batch program (`_gh_scalars_batch_accum`). Returns Montgomery
+    (g, h, yneg_wR) — yneg_wR so the single path can derive delta.
     """
-    to_m = lambda v: df.to_mont(fr, v)
-    wLm, wRm, wOm = to_m(wL), to_m(wR), to_m(wO)
-    y_inv_m, u_m, x_m, a_m, b_m, allinv_m = (
-        to_m(y_inv), to_m(u), to_m(x), to_m(a), to_m(b), to_m(allinv)
-    )
-    u_sq_m = to_m(u_sq)
-
     y_inv_vec = _pow_vector(fr, y_inv_m, padded_n, lg_n)
     s = _s_vector(fr, u_sq_m, allinv_m, padded_n, lg_n)
 
     yneg_wR = df.mont_mul(fr, wRm, y_inv_vec)
-    delta = df.dot_mod(fr, yneg_wR, wLm)
 
     idx = jnp.arange(padded_n, dtype=U32)
     u_or_1 = df.select(
@@ -121,11 +111,86 @@ def _gh_scalars(fr, padded_n: int, lg_n: int,
         df.sub(fr, df.mont_mul(fr, y_inv_vec, inner),
                df.mont_one(fr, (padded_n,))),
     )
+    return g, h, yneg_wR
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 14))
+def _gh_scalars(fr, padded_n: int, lg_n: int,
+                wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1,
+                mont_out: bool = False):
+    """Device g/h scalar vectors + delta for one proof.
+
+    wL/wR/wO: (padded_n, 16) CANONICAL limbs (zero-padded); scalars
+    y_inv/u/x/a/b/allinv: (16,) canonical; u_sq: (lg_n, 16) canonical.
+    n1: dynamic phase-1 multiplier count.
+    Returns (g, h) canonical (padded_n, 16) and delta (16,) canonical.
+    """
+    to_m = lambda v: df.to_mont(fr, v)
+    g, h, yneg_wR = _gh_formulas(
+        fr, padded_n, lg_n,
+        to_m(wL), to_m(wR), to_m(wO),
+        to_m(y_inv), to_m(u), to_m(x), to_m(a), to_m(b),
+        to_m(u_sq), to_m(allinv), n1,
+    )
+    delta = df.dot_mod(fr, yneg_wR, df.to_mont(fr, wL))
 
     if mont_out:
         return g, h, df.from_mont(fr, delta)
     from_m = lambda v: df.from_mont(fr, v)
     return from_m(g), from_m(h), from_m(delta)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _gh_scalars_batch_accum(fr, padded_n: int, lg_n: int,
+                            wL, wR, wO, y_inv, u, x, a, b,
+                            u_sq, allinv, n1, alpha):
+    """B proofs' g/h vectors, alpha-scaled and batch-summed: ONE dispatch.
+
+    The reference batch-verifier accumulates each proof's g/h scalar
+    vector (scaled by its random alpha) into shared generator columns
+    (verifier.rs:655-664); doing that per proof costs 2 device dispatches
+    x B proofs (~60 s of pure tunnel RPC at B=1024). The formulas are
+    identical across proofs, so this vmaps the whole pipeline over the
+    batch and tree-reduces on device.
+
+    Shapes: wL/wR/wO (B, padded_n, 16) canonical; y_inv/u/x/a/b/allinv
+    (B, 16) canonical; u_sq (B, lg_n, 16) canonical; n1 (B,) uint32;
+    alpha (B, 16) MONTGOMERY. Returns (g_acc, h_acc) Montgomery
+    (padded_n, 16): sum_b alpha_b * {g,h}_b.
+    """
+    to_m = lambda v: df.to_mont(fr, v)
+
+    def one(args):
+        wLc, wRc, wOc, yi, uu, xx, aa, bb, usq, ai, n1i, al = args
+        g, h, _ = _gh_formulas(
+            fr, padded_n, lg_n,
+            to_m(wLc), to_m(wRc), to_m(wOc),
+            to_m(yi), to_m(uu), to_m(xx), to_m(aa), to_m(bb),
+            to_m(usq), to_m(ai), n1i,
+        )
+        gh = df.mont_mul(
+            fr, jnp.stack([g, h]),
+            jnp.broadcast_to(al, g.shape)[None],
+        )
+        return gh[0], gh[1]
+
+    g_all, h_all = jax.vmap(one)(
+        (wL, wR, wO, y_inv, u, x, a, b, u_sq, allinv, n1, alpha)
+    )  # (B, padded_n, 16) Montgomery
+
+    # tree-reduce over the batch axis (modular adds, lg B levels)
+    B = g_all.shape[0]
+    gh = jnp.stack([g_all, h_all])  # (2, B, n, 16)
+    while B > 1:
+        half = (B + 1) // 2
+        lo = gh[:, :half]
+        hi = gh[:, half:]
+        pad = half - hi.shape[1]
+        if pad:
+            hi = jnp.pad(hi, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        gh = df.add(fr, lo, hi)
+        B = half
+    return gh[0, 0], gh[1, 0]
 
 
 def gh_scalars(curve, padded_n: int, wL, wR, wO,
@@ -186,13 +251,21 @@ def gh_scalars(curve, padded_n: int, wL, wR, wO,
         one(allinv), jnp.uint32(n1), mont_out,
     )
     if delta_host:
-        p = curve.fr.p
-        acc, yi = 0, 1
-        for wRi, wLi in zip(wR, wL):
-            acc = (acc + wRi * yi % p * wLi) % p
-            yi = yi * y_inv % p
-        return g, h, acc
+        return g, h, compute_delta_host(curve.fr.p, wL, wR, y_inv)
     return g, h, limbs_to_int(np.asarray(delta))
+
+
+def compute_delta_host(p: int, wL, wR, y_inv: int) -> int:
+    """delta = <y^-n ∘ wR, wL> with host ints (reference verifier.rs:473).
+
+    Fetching the device delta is a blocking sync (~29 ms tunnel RPC); the
+    host dot is O(n) small-int mults, cheaper than one sync to n ~ 10^5.
+    """
+    acc, yi = 0, 1
+    for wRi, wLi in zip(wR, wL):
+        acc = (acc + wRi * yi % p * wLi) % p
+        yi = yi * y_inv % p
+    return acc
 
 
 @partial(jax.jit, static_argnums=(0,))

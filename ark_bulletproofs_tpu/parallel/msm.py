@@ -208,20 +208,96 @@ def sharded_msm_device_fn(spec: dc.CurveSpec, c: int, mesh: Mesh):
     return fn, fn_batched
 
 
+def _local_partial2(spec, c, X, Y, inf, scal):
+    """Per-shard v2 mega-kernel Pippenger -> one Jacobian partial."""
+    from ..ops import msm2
+    from ..ops import proj as dpj
+
+    part = dpj.to_jacobian(spec, msm2.msm2_impl(spec, c, X, Y, inf, scal))
+    return tuple(coord[None] for coord in part)  # (1, [B,] 16) per device
+
+
+def sharded_msm2_device_fn(spec: dc.CurveSpec, c: int, mesh: Mesh):
+    """Sharded composition of the v2 fused mega-kernel (VERDICT r2 #2).
+
+    Same contract as `sharded_msm_device_fn` but each device runs the
+    Pallas mega-kernel pipeline (ops/msm2.py) on its point shard instead
+    of the v1 XLA-op Pippenger — the single-chip fast path and the mesh
+    path are the same kernel family, so a multi-chip slice keeps the v2
+    speedup. Requires n/D to be a power of two >= msm2.C_COLS with
+    c + log2(n/D) <= 32 (the packed-sort budget applies per shard).
+    Returns (single_fn, batched_fn); scal (n, 16) or (B, n, 16).
+    """
+
+    # check_vma=False: the per-shard body launches Pallas kernels, whose
+    # out_shape ShapeDtypeStructs carry no varying-mesh-axes annotation —
+    # jax's vma typing rejects them inside a checked shard_map. The body
+    # is collective-free (pure per-shard compute), so the check buys
+    # nothing here.
+    def fn(X, Y, inf, scal):
+        local = jax.shard_map(
+            partial(_local_partial2, spec, c),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),) * 4,
+            out_specs=(P(DATA_AXIS),) * 3,
+            check_vma=False,
+        )
+        return _reduce_partials(spec, local(X, Y, inf, scal))
+
+    def fn_batched(X, Y, inf, scal):
+        local_b = jax.shard_map(
+            partial(_local_partial2, spec, c),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(None, DATA_AXIS)),
+            out_specs=(P(DATA_AXIS),) * 3,
+            check_vma=False,
+        )
+        return _reduce_partials(spec, local_b(X, Y, inf, scal))
+
+    return fn, fn_batched
+
+
+def _v2_shard_ok(spec, n_loc: int) -> bool:
+    from ..ops import msm2
+
+    return (
+        isinstance(spec, dc.CurveSpec)
+        and n_loc >= msm2.V2_MIN_N
+        and (n_loc & (n_loc - 1)) == 0
+    )
+
+
 def msm_device_maybe_sharded(spec, c, X, Y, inf, scal):
     """Drop-in for ops/msm.py::msm_device that shards across the engine's
-    active mesh when one is configured and the shape divides evenly."""
+    active mesh when one is configured and the shape divides evenly.
+    On TPU meshes the per-shard kernel is the v2 fused mega-kernel (the
+    same family as the single-chip fast path); CPU meshes and ragged
+    shapes fall back to the v1 XLA-op Pippenger per shard."""
     from .. import engine
 
     import os
 
+    on_tpu = jax.devices()[0].platform != "cpu"
     mesh = engine.active_mesh()
     n = X.shape[0]
     if mesh is not None:
         D = mesh.devices.size
         min_shard = int(os.environ.get("ABTPU_SHARD_MIN", "256"))
         if D > 1 and n % D == 0 and (n // D) >= min_shard:
-            c_loc = dmsm._window_bits(n // D)
+            n_loc = n // D
+            if on_tpu and _v2_shard_ok(spec, n_loc):
+                from ..ops import msm2
+
+                c_loc = msm2.window_bits(n_loc)
+                key = ("arrays2", spec, mesh, c_loc, scal.ndim)
+                fns = _JIT_CACHE.get(key)
+                if fns is None:
+                    pair = sharded_msm2_device_fn(spec, c_loc, mesh)
+                    fns = (jax.jit(pair[0]), jax.jit(pair[1]))
+                    _JIT_CACHE[key] = fns
+                return fns[1 if scal.ndim == 3 else 0](X, Y, inf, scal)
+            c_loc = dmsm._window_bits(n_loc)
             key = ("arrays", spec, mesh, c_loc, scal.ndim)
             fns = _JIT_CACHE.get(key)
             if fns is None:
@@ -229,13 +305,17 @@ def msm_device_maybe_sharded(spec, c, X, Y, inf, scal):
                 fns = (jax.jit(pair[0]), jax.jit(pair[1]))
                 _JIT_CACHE[key] = fns
             return fns[1 if scal.ndim == 3 else 0](X, Y, inf, scal)
-    if (
-        n >= 1024
-        and (n & (n - 1)) == 0
+    # single-chip TPU: the fused mega-kernel Pippenger (jacobian out).
+    # Batched scalar sets qualify from n=256 (B*W rows keep the kernels
+    # saturated — e.g. the IPA batch prover's (2P, 257) round MSMs);
+    # single sets only from 1024 where the pipeline beats v1's overhead.
+    v2_ok = (
+        on_tpu
         and isinstance(spec, dc.CurveSpec)
-        and jax.devices()[0].platform != "cpu"
-    ):
-        # single-chip TPU: the fused mega-kernel Pippenger (jacobian out)
+        and (n & (n - 1)) == 0
+        and (n >= 1024 or (n >= 256 and scal.ndim == 3))
+    )
+    if v2_ok:
         from ..ops import msm2
 
         return msm2.msm2_device_jac(

@@ -525,34 +525,72 @@ def _batch_verify_device(
     p = fr.p
     frs = dfield.spec_for(fr)
 
-    acc_g = jnp.zeros((max_padded, N_LIMBS), jnp.uint32)
-    acc_h = jnp.zeros((max_padded, N_LIMBS), jnp.uint32)
+    # Host pass: transcript-derived ingredients are already in `ings`;
+    # compute per-proof delta (host ints — a device fetch would be a
+    # blocking sync per proof), head/tail scalars, and the random alpha.
     head_acc = [0, 0]
     tails: list[int] = []
     extra_bases: list = []
-
+    alphas: list[int] = []
     for (verifier, proof), ing in zip(instances, ings):
-        padded_n = ing["padded_n"]
-        g, h, delta = dverify.gh_scalars(
-            curve, padded_n, ing["wL"], ing["wR"], ing["wO"],
-            fr.inv(ing["y"]), ing["u"], ing["x"], ing["a"], ing["b"],
-            ing["u_sq"], ing["allinv"], ing["n1"], mont_out=True,
-            delta_host=True,
+        delta = dverify.compute_delta_host(
+            p, ing["wL"], ing["wR"], fr.inv(ing["y"])
         )
         head, tail = verifier._head_tail_scalars(ing, proof, p, delta)
         alpha = fr.rand(prng)
-        if padded_n != max_padded:
-            pad = ((0, max_padded - padded_n), (0, 0))
-            g = jnp.pad(g, pad)
-            h = jnp.pad(h, pad)
-        alpha_m = jnp.asarray(ints_to_limbs([alpha * fr.R % p])[0])
-        acc_g, acc_h = dverify._scale_accumulate(
-            frs, acc_g, acc_h, g, h, alpha_m
-        )
+        alphas.append(alpha)
         head_acc[0] = (head_acc[0] + alpha * head[0]) % p
         head_acc[1] = (head_acc[1] + alpha * head[1]) % p
         tails.extend(s * alpha % p for s in tail)
         extra_bases.extend(verifier._extra_bases(proof))
+
+    # Device pass: group proofs by (padded_n, lg_n) — same-shaped proofs
+    # (the common case: reference batches are same-circuit,
+    # verifier.rs:604-691) run as ONE vmapped program that builds,
+    # alpha-scales and batch-sums all g/h vectors on device; mixed-size
+    # batches cost one dispatch per distinct size, not per proof.
+    groups: dict[int, list[int]] = {}
+    for i, ing in enumerate(ings):
+        groups.setdefault(ing["padded_n"], []).append(i)
+
+    def _stack_vec(vals, padded_n):
+        return np.stack([
+            ints_to_limbs(list(v) + [0] * (padded_n - len(v))) for v in vals
+        ])
+
+    acc_g = jnp.zeros((max_padded, N_LIMBS), jnp.uint32)
+    acc_h = jnp.zeros((max_padded, N_LIMBS), jnp.uint32)
+    for padded_n, idxs in groups.items():
+        lg_n = padded_n.bit_length() - 1
+        sub = [ings[i] for i in idxs]
+        one = lambda key: np.stack(
+            [ints_to_limbs([g[key]])[0] for g in sub]
+        )
+        y_inv = np.stack([ints_to_limbs([fr.inv(g["y"])])[0] for g in sub])
+        u_sq = (
+            np.stack([ints_to_limbs(list(g["u_sq"])) for g in sub])
+            if lg_n
+            else np.zeros((len(sub), 0, N_LIMBS), np.uint32)
+        )
+        alpha_m = np.stack(
+            [ints_to_limbs([alphas[i] * fr.R % p])[0] for i in idxs]
+        )
+        g_sum, h_sum = dverify._gh_scalars_batch_accum(
+            frs, padded_n, lg_n,
+            _stack_vec([g["wL"] for g in sub], padded_n),
+            _stack_vec([g["wR"] for g in sub], padded_n),
+            _stack_vec([g["wO"] for g in sub], padded_n),
+            y_inv, one("u"), one("x"), one("a"), one("b"),
+            u_sq, one("allinv"),
+            np.asarray([g["n1"] for g in sub], np.uint32),
+            alpha_m,
+        )
+        if padded_n != max_padded:
+            pad = ((0, max_padded - padded_n), (0, 0))
+            g_sum = jnp.pad(g_sum, pad)
+            h_sum = jnp.pad(h_sum, pad)
+        acc_g = dfield.add(frs, acc_g, g_sum)
+        acc_h = dfield.add(frs, acc_h, h_sum)
 
     g_can = dfield.from_mont(frs, acc_g)
     h_can = dfield.from_mont(frs, acc_h)
