@@ -55,14 +55,20 @@ def _log2(x: int) -> int:
 
 def window_bits(n: int) -> int:
     """Window size for the v2 kernel: bounded by the packed-sort budget
-    (c + log2 n <= 32); larger n amortizes more buckets."""
+    (c + log2 n <= 32); larger n amortizes more buckets. Below 2^10 the
+    bucket stage (XLA-op group adds over (B*W, 2^c)) costs ~20x the
+    scan's Pallas madd, so the optimum falls to c ~= lg n - 4
+    (measured: n=256 B=256 @ c=8 = 1.03 s/call with S = n buckets/window;
+    c=4 lifted the P=128 IPA batch from 18.96 to 27.4 proofs/s)."""
     lg = _log2(n)
     if n >= (1 << 18):
         c = 12
     elif n >= (1 << 13):
         c = 10
-    else:
+    elif n >= (1 << 10):
         c = 8
+    else:
+        c = max(2, lg - 4)
     return min(c, 32 - lg)
 
 
@@ -118,51 +124,59 @@ def _excl_suffix_small(spec, P, m: int):
     return dpj.select(good, part, dpj.point_zero(spec, part[0].shape[:-1]))
 
 
-def msm2_impl(spec, c: int, X, Y, inf, scal):
-    """v2 Pippenger. X, Y: (n, 16) affine Montgomery limbs; inf: (n,)
-    bool; scal: (n, 16) or (B, n, 16) canonical scalar limbs. n must be
-    a power of two >= C_COLS. Returns a projective point: coords (16,) for
-    one scalar set, (B, 16) for a batch. Points are homogeneous
-    projective (RCB complete formulas) end to end; convert with
-    ops/proj.py::point_to_host."""
-    n = X.shape[0]
-    lg = _log2(n)
-    assert n == 1 << lg and n >= V2_MIN_N
-    assert c + lg <= 32
-    B = scal.shape[0] if scal.ndim == 3 else 1
-    W = -(-SCALAR_BITS // c)  # ceil
-    BW = B * W
-    C = min(C_COLS, n)
-    c1, c2 = 16, C // 16  # two-level column-carry split (c1 * c2 = C)
-    R = n // C
-    L = BW * C
-    S = 1 << c
+class _Cfg:
+    """Static shape plan for one (n, c, B) instantiation."""
 
-    # --- 1-2: digits + packed sort ----------------------------------
-    digits = _digits_all(scal, c, W)  # (BW, n)
-    iota = jnp.arange(n, dtype=U32)[None, :]
-    keys = (digits << lg) | iota
+    __slots__ = ("n", "c", "B", "lg", "W", "BW", "C", "c1", "c2", "R",
+                 "L", "S")
+
+    def __init__(self, n: int, c: int, B: int):
+        lg = _log2(n)
+        assert n == 1 << lg and n >= V2_MIN_N
+        assert c + lg <= 32
+        self.n, self.c, self.B, self.lg = n, c, B, lg
+        self.W = -(-SCALAR_BITS // c)  # ceil
+        self.BW = B * self.W
+        self.C = min(C_COLS, n)
+        self.c1, self.c2 = 16, self.C // 16  # column-carry split
+        self.R = n // self.C
+        self.L = self.BW * self.C
+        self.S = 1 << c
+
+
+def _stage_sort(g: _Cfg, scal):
+    """Digits + packed single sort -> (order, sorted digits), (BW, n)."""
+    digits = _digits_all(scal, g.c, g.W)  # (BW, n)
+    iota = jnp.arange(g.n, dtype=U32)[None, :]
+    keys = (digits << g.lg) | iota
     keys = jax.lax.sort(keys, dimension=1)
-    order = (keys & jnp.uint32(n - 1)).astype(jnp.int32)
-    sd = keys >> lg  # (BW, n) sorted digits
+    order = (keys & jnp.uint32(g.n - 1)).astype(jnp.int32)
+    sd = keys >> g.lg  # (BW, n) sorted digits
+    return order, sd
 
-    # --- 3: gather sorted points, column suffix scan ----------------
-    # sorted flat index i = col*R + r; lane layout l = row*C + col.
-    # ONE 64-byte-row gather of PACKED coords (x_i | y_i << 16 — limbs
-    # are 16-bit, both coords fit one u32 plane; the XLA:TPU gather is
-    # dispatch-bound ~6 ns/row under 64 bytes and falls off a ~6x cliff
-    # past that, so packing halves the dominant row count) + an XLA
-    # limb-major transpose (bandwidth-bound; an in-kernel relayout costs
-    # ~8x the madd math). Identity rows carry y = 0.
+
+def _stage_gather(g: _Cfg, X, Y, inf, order):
+    """Gather sorted PACKED coords into the limb-major (R, NL, L) layout.
+
+    sorted flat index i = col*R + r; lane layout l = row*C + col.
+    ONE 64-byte-row gather of packed coords (x_i | y_i << 16 — limbs
+    are 16-bit, both coords fit one u32 plane; the XLA:TPU gather is
+    dispatch-bound ~6 ns/row under 64 bytes and falls off a ~6x cliff
+    past that, so packing halves the dominant row count) + an XLA
+    limb-major transpose (bandwidth-bound; an in-kernel relayout costs
+    ~8x the madd math). Identity rows carry y = 0."""
     Yz = jnp.where(inf[:, None], jnp.zeros_like(Y), Y)
     XY = X | (Yz << 16)  # (n, NL) packed affine coords
-    ord_r = order.reshape(BW, C, R).transpose(2, 0, 1).reshape(R, L)
-    gxy = jnp.swapaxes(XY[ord_r], 1, 2)  # (R, NL, L)
-    lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
-    tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
+    ord_r = order.reshape(g.BW, g.C, g.R).transpose(2, 0, 1).reshape(g.R, g.L)
+    return jnp.swapaxes(XY[ord_r], 1, 2)  # (R, NL, L)
 
-    # --- 4: two-level exclusive column-carry suffix -----------------
-    # col = i1*c2 + i2; level A scans i2 within each chunk
+
+def _stage_carries(g: _Cfg, spec, lX, lY, lZ):
+    """Two-level exclusive column-carry suffix -> (BW, C) points.
+
+    col = i1*c2 + i2; level A scans i2 within each chunk."""
+    c1, c2, BW, C = g.c1, g.c2, g.BW, g.C
+    tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
     t4 = _tmap(lambda a: a.reshape(NL, BW, c1, c2), tot)
     lvlA_in = _tmap(
         lambda a: a.transpose(3, 0, 1, 2).reshape(c2, NL, BW * c1), t4
@@ -189,9 +203,12 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
         ),
         ce,
     )
-    excl_col = dpj.add(spec, e2, ceb)  # (BW, C) points
+    return dpj.add(spec, e2, ceb)  # (BW, C) points
 
-    # --- 5: bucket reduction via searchsorted-telescoping -----------
+
+def _stage_buckets(g: _Cfg, spec, sd, lX, lY, lZ, excl_col):
+    """Bucket reduction via searchsorted-telescoping -> (BW, S) points."""
+    S, n, R, C, BW = g.S, g.n, g.R, g.C, g.BW
     js = jnp.arange(S, dtype=U32)
     pos = jax.vmap(lambda row: jnp.searchsorted(row, js))(sd)  # (BW, S)
     valid = (js[None, :] >= 1) & (pos < n)
@@ -207,9 +224,14 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
     ident = dpj.point_zero(spec, valid.shape)
     T1 = dpj.select(valid, T1, ident)
     EC = dpj.select(valid, EC, ident)
-    U = dpj.add(spec, T1, EC)  # (BW, S) points
+    return dpj.add(spec, T1, EC)  # (BW, S) points
 
-    # two-pass row-sum collapse S -> 1 per window
+
+def _stage_rowsum(g: _Cfg, spec, U):
+    """Two-pass row-sum collapse S -> 1 per window -> (NL, >=BW) x3.
+
+    (The unpadded lane count of the result is exactly g.BW.)"""
+    S, BW = g.S, g.BW
     K1 = 16 if S <= 1024 else 64
     M1 = S // K1
     p1_in = _tmap(
@@ -223,17 +245,38 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
     p2_in = _tmap(
         lambda a: a[:, :L1].reshape(NL, BW, M1).transpose(2, 0, 1), part1
     )
-    p2_in, L2 = _pad_lanes(p2_in, 128)
-    wsum = k2.rowsum_jac(spec, *p2_in, 128)  # (NL, BW padded)
+    p2_in, _ = _pad_lanes(p2_in, 128)
+    return k2.rowsum_jac(spec, *p2_in, 128)  # (NL, BW padded)
 
-    # --- 6: Horner window recombination -----------------------------
-    # rows b*W + w -> (W, NL, B) with highest window at row W-1
+
+def _stage_horner(g: _Cfg, spec, wsum):
+    """Window recombination -> (B, NL) projective coords per set.
+
+    rows b*W + w -> (W, NL, B) with highest window at row W-1."""
+    B, W, BW = g.B, g.W, g.BW
     h_in = _tmap(
-        lambda a: a[:, :L2].reshape(NL, B, W).transpose(2, 0, 1), wsum
+        lambda a: a[:, :BW].reshape(NL, B, W).transpose(2, 0, 1), wsum
     )
-    h_in, L3 = _pad_lanes(h_in, 128)
-    acc = k2.horner_windows(spec, *h_in, c)  # (NL, B padded)
-    out = _tmap(lambda a: a[:, :B].T, acc)  # (B, NL)
+    h_in, _ = _pad_lanes(h_in, 128)
+    acc = k2.horner_windows(spec, *h_in, g.c)  # (NL, B padded)
+    return _tmap(lambda a: a[:, :B].T, acc)  # (B, NL)
+
+
+def msm2_impl(spec, c: int, X, Y, inf, scal):
+    """v2 Pippenger. X, Y: (n, 16) affine Montgomery limbs; inf: (n,)
+    bool; scal: (n, 16) or (B, n, 16) canonical scalar limbs. n must be
+    a power of two >= V2_MIN_N. Returns a projective point: coords (16,)
+    for one scalar set, (B, 16) for a batch. Points are homogeneous
+    projective (RCB complete formulas) end to end; convert with
+    ops/proj.py::point_to_host."""
+    g = _Cfg(X.shape[0], c, scal.shape[0] if scal.ndim == 3 else 1)
+    order, sd = _stage_sort(g, scal)
+    gxy = _stage_gather(g, X, Y, inf, order)
+    lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
+    excl_col = _stage_carries(g, spec, lX, lY, lZ)
+    U = _stage_buckets(g, spec, sd, lX, lY, lZ, excl_col)
+    wsum = _stage_rowsum(g, spec, U)
+    out = _stage_horner(g, spec, wsum)
     if scal.ndim == 2:
         return _tmap(lambda a: a[0], out)
     return out
@@ -242,8 +285,72 @@ def msm2_impl(spec, c: int, X, Y, inf, scal):
 msm2_device = jax.jit(msm2_impl, static_argnums=(0, 1))
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+_STAGED_CACHE: dict = {}
+
+
+def msm2_device_staged(spec, c: int, X, Y, inf, scal):
+    """The v2 pipeline as SEVEN host-chained jit programs (one per stage)
+    instead of one fused program.
+
+    Measured at n=2^20: the fused program runs 749 ms/call while the
+    stages sum to ~384 ms — XLA schedules the single program's ~6 GB of
+    big intermediates (gxy 1.5 GB + 3 locals 4.4 GB) with extra copies.
+    Chaining the stage jits from the host keeps every dispatch async
+    (no host sync between stages) and lets each buffer die at stage
+    granularity. Same math, same outputs.
+    """
+    key = (spec, c, X.shape[0], scal.shape[0] if scal.ndim == 3 else 1)
+    fns = _STAGED_CACHE.get(key)
+    if fns is None:
+        g = _Cfg(key[2], c, key[3])
+
+        def j(f):
+            return jax.jit(f)
+
+        fns = (
+            g,
+            j(partial(_stage_sort, g)),
+            j(partial(_stage_gather, g)),
+            j(partial(_stage_carries, g, spec)),
+            j(partial(_stage_buckets, g, spec)),
+            j(partial(_stage_rowsum, g, spec)),
+            j(partial(_stage_horner, g, spec)),
+        )
+        _STAGED_CACHE[key] = fns
+    g, f_sort, f_gather, f_carries, f_buckets, f_rowsum, f_horner = fns
+    order, sd = f_sort(scal)
+    gxy = f_gather(X, Y, inf, order)
+    locs = k2.suffix_madd_scan(spec, gxy)
+    excl_col = f_carries(*locs)
+    U = f_buckets(sd, *locs, excl_col)
+    wsum = f_rowsum(U)
+    out = f_horner(wsum)
+    if scal.ndim == 2:
+        return _tmap(lambda a: a[0], out)
+    return out
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _to_jac_jit(spec, out):
+    return dpj.to_jacobian(spec, out)
+
+
+# Fused-vs-staged crossover (tools/probe_msm2_staged.py, v5e): at n=2^20
+# the one-program pipeline runs 727 ms vs 376 ms staged (XLA schedules
+# the ~6 GB of fused-program intermediates with extra copies); at n=2^16
+# fused wins slightly (34.0 vs 37.4 ms — staged pays ~7 async dispatch
+# latencies). Large sizes chain stage jits from the host, small stay fused.
+STAGED_MIN_N = 1 << 17
+
+
+def msm2_best(spec, c: int, X, Y, inf, scal):
+    """Size-routed v2 MSM (projective out): staged above STAGED_MIN_N."""
+    if X.shape[0] >= STAGED_MIN_N:
+        return msm2_device_staged(spec, c, X, Y, inf, scal)
+    return msm2_device(spec, c, X, Y, inf, scal)
+
+
 def msm2_device_jac(spec, c: int, X, Y, inf, scal):
     """v2 MSM returning JACOBIAN coords (ops/curve.py conventions), for
     drop-in use at protocol call sites built around the v1 contract."""
-    return dpj.to_jacobian(spec, msm2_impl(spec, c, X, Y, inf, scal))
+    return _to_jac_jit(spec, msm2_best(spec, c, X, Y, inf, scal))

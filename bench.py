@@ -221,7 +221,8 @@ def main() -> None:
     use_v2 = platform != "cpu"
     if use_v2:
         c = msm2.window_bits(n)
-        run = lambda: msm2.msm2_device(spec, c, X, Y, inf, scal)  # noqa: E731
+        # size-routed: staged chain above 2^17, fused single program below
+        run = lambda: msm2.msm2_best(spec, c, X, Y, inf, scal)  # noqa: E731
         to_host = dpj.point_to_host
     else:
         c = dmsm._window_bits(n)

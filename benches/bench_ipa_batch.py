@@ -84,6 +84,38 @@ def main() -> None:
         )
     )
 
+    # Verification: one (2n + 2 lg n + 1)-term MSM per proof (reference
+    # inner_product_proof.rs:321-382). At n=64 that is a 141-term MSM —
+    # below any device crossover — so the honest configuration is the
+    # exact host path; report it as the verify half of the north star.
+    engine.config.backend = "host"
+    from ark_bulletproofs_tpu.util import inner_product
+
+    Ps = []
+    for i in range(P):
+        sc = [ai * gi % f.p for ai, gi in zip(a_l[i], gf_l[i])]
+        sc += [bi * hi % f.p for bi, hi in zip(b_l[i], hf_l[i])]
+        sc += [inner_product(f, a_l[i], b_l[i]) * ws[i] % f.p]
+        Ps.append(
+            engine.msm(C, list(G) + list(H) + [C.gen], sc)
+        )
+    t0 = time.perf_counter()
+    for i in range(P):
+        t = Transcript(b"bench ipa" + bytes([i & 255]))
+        proofs[i].verify(n, t, C, gf_l[i], hf_l[i], Ps[i],
+                         C.mul(C.gen, ws[i]), list(G), list(H))
+    dt_v = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"ipa_verify_n{n}_batch{P}",
+                "value": round(P / dt_v, 2),
+                "unit": "proofs/s",
+                "backend": "host",
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()
