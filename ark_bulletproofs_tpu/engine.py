@@ -18,8 +18,13 @@ class EngineConfig:
     # "auto": device for large sizes when JAX is usable; "host": never use
     # the device; "jax": force the device path (used by backend tests).
     backend: str = os.environ.get("ABTPU_BACKEND", "auto")
-    # Minimum MSM size for the device path.
-    msm_device_threshold: int = int(os.environ.get("ABTPU_MSM_THRESHOLD", "4096"))
+    # Minimum MSM size for the device path. 512 since round 3: the TPU
+    # shuffle sweep showed k=512 (2049-term MSMs) routed to the pure-
+    # Python host path under the old 4096 floor and ran SLOWER than
+    # k=1024 (13.4 s vs 11.3 s prove; 960 ms vs 216 ms verify) — the
+    # device MSM + ~28 ms tunnel sync beats host Python from a few
+    # hundred terms up.
+    msm_device_threshold: int = int(os.environ.get("ABTPU_MSM_THRESHOLD", "512"))
 
 
 config = EngineConfig()

@@ -63,11 +63,15 @@ class ShuffleProof:
         transcript.append_u64(b"k", k)
 
         prover = Prover(pc_gens, transcript)
+        # blinding draws happen in the same order as the sequential
+        # commit loop, so transcripts (and proofs) are unchanged
+        in_blinds = [curve.fr.rand(prng) for _ in input_vals]
         in_coms, in_vars = zip(
-            *[prover.commit(v, curve.fr.rand(prng)) for v in input_vals]
+            *prover.commit_many(list(input_vals), in_blinds)
         )
+        out_blinds = [curve.fr.rand(prng) for _ in output_vals]
         out_coms, out_vars = zip(
-            *[prover.commit(v, curve.fr.rand(prng)) for v in output_vals]
+            *prover.commit_many(list(output_vals), out_blinds)
         )
         shuffle_gadget(prover, curve, list(in_vars), list(out_vars))
         proof = prover.prove(prng, bp_gens)

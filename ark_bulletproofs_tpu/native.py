@@ -83,6 +83,14 @@ def lib():
                 ctypes.c_uint32,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            L.abtpu_cpu_commit_many.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             _lib = L
         except Exception:
             _lib = None
@@ -149,6 +157,31 @@ def cpu_pippenger_raw(xs, ys, inf, ss, n, c: int = 0):
         int.from_bytes(raw[32:64], "little"),
         int.from_bytes(raw[64:96], "little"),
     )
+
+
+def commit_many_native(B, B_blinding, values, blinds, p: int):
+    """Batched Pedersen commitments v_i*B + r_i*B~ via the native
+    fixed-base window tables. Returns a list of Jacobian (X, Y, Z) int
+    tuples, or None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = len(values)
+    xs = B[0].to_bytes(32, "little") + B_blinding[0].to_bytes(32, "little")
+    ys = B[1].to_bytes(32, "little") + B_blinding[1].to_bytes(32, "little")
+    vs = b"".join((v % p).to_bytes(32, "little") for v in values)
+    rs = b"".join((r % p).to_bytes(32, "little") for r in blinds)
+    out = (ctypes.c_uint8 * (96 * n))()
+    L.abtpu_cpu_commit_many(xs, ys, vs, rs, n, out)
+    raw = bytes(out)
+    return [
+        (
+            int.from_bytes(raw[96 * i:96 * i + 32], "little"),
+            int.from_bytes(raw[96 * i + 32:96 * i + 64], "little"),
+            int.from_bytes(raw[96 * i + 64:96 * i + 96], "little"),
+        )
+        for i in range(n)
+    ]
 
 
 def cpu_pippenger_native(pts, scalars, c: int = 0):

@@ -151,6 +151,21 @@ class Prover(RandomizableConstraintSystem):
         protocol.append_point(self._transcript, self.curve, b"V", V)
         return V, Variable(Variable.COMMITTED, i, fr)
 
+    def commit_many(self, values: list[int], blinds: list[int]):
+        """Batched `commit` — same transcript appends in the same order,
+        with the Pedersen math done as one fixed-base batch
+        (PedersenGens.commit_many; bit-identical to the loop)."""
+        fr = self.curve.fr
+        pts = self.pc_gens.commit_many(values, blinds)
+        out = []
+        for v, r, V in zip(values, blinds, pts):
+            i = len(self.v)
+            self.v.append(int(v) % fr.p)
+            self.v_blinding.append(int(r) % fr.p)
+            protocol.append_point(self._transcript, self.curve, b"V", V)
+            out.append((V, Variable(Variable.COMMITTED, i, fr)))
+        return out
+
     def flattened_constraints(self, z: int):
         """Per-wire weights via powers of z (reference prover.rs:354-397)."""
         p = self.curve.fr.p
@@ -314,11 +329,11 @@ class Prover(RandomizableConstraintSystem):
         t_5_blinding = fr.rand(rng)
         t_6_blinding = fr.rand(rng)
 
-        T_1 = self.pc_gens.commit(t_poly.t1, t_1_blinding)
-        T_3 = self.pc_gens.commit(t_poly.t3, t_3_blinding)
-        T_4 = self.pc_gens.commit(t_poly.t4, t_4_blinding)
-        T_5 = self.pc_gens.commit(t_poly.t5, t_5_blinding)
-        T_6 = self.pc_gens.commit(t_poly.t6, t_6_blinding)
+        T_1, T_3, T_4, T_5, T_6 = self.pc_gens.commit_many(
+            [t_poly.t1, t_poly.t3, t_poly.t4, t_poly.t5, t_poly.t6],
+            [t_1_blinding, t_3_blinding, t_4_blinding, t_5_blinding,
+             t_6_blinding],
+        )
 
         protocol.append_point(t, curve, b"T_1", T_1)
         protocol.append_point(t, curve, b"T_3", T_3)
@@ -558,11 +573,9 @@ def prove_batch(provers: list, prngs: list, bp_gens: BulletproofGens):
         t_poly = VecPoly3.special_inner_product(l_poly, r_poly)
 
         tb = [fr.rand(rng) for _ in range(5)]  # t_1,3,4,5,6 blindings
-        T_1 = prover.pc_gens.commit(t_poly.t1, tb[0])
-        T_3 = prover.pc_gens.commit(t_poly.t3, tb[1])
-        T_4 = prover.pc_gens.commit(t_poly.t4, tb[2])
-        T_5 = prover.pc_gens.commit(t_poly.t5, tb[3])
-        T_6 = prover.pc_gens.commit(t_poly.t6, tb[4])
+        T_1, T_3, T_4, T_5, T_6 = prover.pc_gens.commit_many(
+            [t_poly.t1, t_poly.t3, t_poly.t4, t_poly.t5, t_poly.t6], tb
+        )
         for lbl, Pt in (
             (b"T_1", T_1), (b"T_3", T_3), (b"T_4", T_4),
             (b"T_5", T_5), (b"T_6", T_6),

@@ -338,4 +338,81 @@ void abtpu_cpu_pippenger(const uint8_t* xs, const uint8_t* ys,
   std::memcpy(out + 64, oz.v, 32);
 }
 
+// Batched fixed-base Pedersen commitments: out[i] = v[i]*B + r[i]*Bt.
+//
+// The protocol layer commits m witness values up front (reference
+// src/r1cs/prover.rs:327-341 in a loop over the gadget's inputs); a
+// pure-Python double-and-add costs ~8 ms per commitment, which at
+// k=1024 shuffle scale (2048 commitments) dominates proof creation.
+// Fixed bases admit one-time window tables: T[w][d] = (d+1)*2^(8w)*P,
+// then each scalar is 32 table adds. Tables are rebuilt per call (a few
+// ms) — callers batch, so amortization is inside the call.
+//
+// xs/ys: 2*32 bytes (B then Bt, affine LE, normal domain); vs/rs: n*32
+// LE scalars; out: n * 96 bytes Jacobian (X,Y,Z normal domain).
+extern "C" void abtpu_cpu_commit_many(const uint8_t* xs, const uint8_t* ys,
+                                      const uint8_t* vs, const uint8_t* rs,
+                                      uint64_t n, uint8_t* out) {
+  const uint32_t c = 8;
+  const uint32_t W = 32;          // 256 / 8
+  const uint32_t D = (1u << c) - 1;  // 255 table entries per window
+  Fp r2;
+  std::memcpy(r2.v, R2, 32);
+
+  // window tables for both bases, cached across calls (the (B, B~)
+  // pair is fixed per PedersenGens, so 5-commit calls reuse the ~30 ms
+  // build; thread_local keeps concurrent callers safe).
+  static thread_local std::vector<Jac> table;  // 2 * W * D
+  static thread_local uint8_t cached_key[128];
+  bool hit = table.size() == 2ull * W * D &&
+             std::memcmp(cached_key, xs, 64) == 0 &&
+             std::memcmp(cached_key + 64, ys, 64) == 0;
+  if (!hit) {
+    std::memcpy(cached_key, xs, 64);
+    std::memcpy(cached_key + 64, ys, 64);
+    table.assign(2 * W * D, JAC_INF);
+  }
+  for (int b = 0; b < 2 && !hit; ++b) {
+    Affine base;
+    Fp x, y;
+    std::memcpy(x.v, xs + 32 * b, 32);
+    std::memcpy(y.v, ys + 32 * b, 32);
+    fp_mul(x, r2, base.x);
+    fp_mul(y, r2, base.y);
+    base.inf = false;
+    Jac pw = JAC_INF;
+    jac_madd(pw, base);  // pw = 2^(8w) * P, starting w = 0
+    for (uint32_t w = 0; w < W; ++w) {
+      Jac* row = &table[(b * W + w) * D];
+      row[0] = pw;
+      for (uint32_t d = 1; d < D; ++d) {
+        row[d] = row[d - 1];
+        jac_add(row[d], pw);
+      }
+      // pw for the next window = 2^8 * this window's base
+      if (w + 1 < W)
+        for (int k = 0; k < 8; ++k) jac_double(pw);
+    }
+  }
+
+  for (uint64_t i = 0; i < n; ++i) {
+    Jac acc = JAC_INF;
+    const uint8_t* two[2] = {vs + 32 * i, rs + 32 * i};
+    for (int b = 0; b < 2; ++b) {
+      for (uint32_t w = 0; w < W; ++w) {
+        uint32_t d = two[b][w];  // c = 8: digit w is byte w
+        if (d) jac_add(acc, table[(b * W + w) * D + (d - 1)]);
+      }
+    }
+    Fp one = {{1, 0, 0, 0}};
+    Fp ox, oy, oz;
+    fp_mul(acc.x, one, ox);
+    fp_mul(acc.y, one, oy);
+    fp_mul(acc.z, one, oz);
+    std::memcpy(out + 96 * i, ox.v, 32);
+    std::memcpy(out + 96 * i + 32, oy.v, 32);
+    std::memcpy(out + 96 * i + 64, oz.v, 32);
+  }
+}
+
 }  // extern "C"

@@ -53,6 +53,26 @@ def test_cpu_pippenger_all_zero():
 
 
 @pytest.mark.skipif(native.lib() is None, reason="native lib unavailable")
+def test_commit_many_matches_sequential():
+    """PedersenGens.commit_many == the sequential commit loop, including
+    zero-scalar (identity-contribution) lanes."""
+    from ark_bulletproofs_tpu.generators import PedersenGens
+
+    curve = curves.secq256k1
+    pc = PedersenGens.default(curve)
+    prng = random.Random(12)
+    vs = [prng.randrange(curve.fr.p) for _ in range(33)]
+    rs = [prng.randrange(curve.fr.p) for _ in range(33)]
+    vs[0] = 0
+    rs[1] = 0
+    vs[2] = rs[2] = 0  # commit(0,0) = identity
+    vs[3] = curve.fr.p - 1
+    got = pc.commit_many(vs, rs)
+    want = [pc.commit(v, r) for v, r in zip(vs, rs)]
+    assert got == want
+
+
+@pytest.mark.skipif(native.lib() is None, reason="native lib unavailable")
 def test_cpu_pippenger_window_sweep():
     """Explicit window sizes bracket the auto choice (digit plumbing)."""
     curve = curves.secq256k1
