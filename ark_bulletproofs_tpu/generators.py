@@ -58,9 +58,9 @@ class PedersenGens:
         c = self.curve
         if not values:
             return []
-        if c.name == "secq256k1" and len(values) >= 2:
-            from . import native
+        from . import native
 
+        if len(values) >= 2 and native.set_curve_native(c):
             jacs = native.commit_many_native(
                 self.B, self.B_blinding, values, blinds, c.fr.p
             )
@@ -97,7 +97,13 @@ class GeneratorsChain:
     sequential reference semantics (src/generators.rs:78-121).
     """
 
-    _DEVICE_MIN = 128  # below this, sequential host sampling is faster
+    # Below this, sequential host sampling wins. Measured on the
+    # tunneled v5e (benches/bench_generators.py --backend jax): the
+    # batched device farm costs ~11 s of compile+dispatch per new
+    # padded shape, while the host samples at ~2.7 ms/gen — crossover
+    # ~4k generators; at 128..1024 the farm ran 17.6 s..11.8 s vs the
+    # host's 0.35..2.7 s.
+    _DEVICE_MIN = 4096
 
     def __init__(self, curve, label: bytes):
         self.curve = curve

@@ -91,6 +91,14 @@ def lib():
                 ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            L.abtpu_cpu_set_curve.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_uint64,
+                ctypes.c_char_p,
+                ctypes.c_char_p,
+                ctypes.c_int,
+            ]
             _lib = L
         except Exception:
             _lib = None
@@ -144,10 +152,16 @@ def cpu_pippenger_marshal(pts, scalars):
     return bytes(xs), bytes(ys), bytes(inf), bytes(ss), n
 
 
-def cpu_pippenger_raw(xs, ys, inf, ss, n, c: int = 0):
+def cpu_pippenger_raw(xs, ys, inf, ss, n, c: int = 0, curve=None):
     """Run the C++ Pippenger on pre-marshalled buffers → Jacobian ints."""
     L = lib()
     if L is None:
+        return None
+    if curve is None:
+        from . import curves
+
+        curve = curves.secq256k1
+    if not set_curve_native(curve):
         return None
     out = (ctypes.c_uint8 * 96)()
     L.abtpu_cpu_pippenger(xs, ys, inf, ss, n, c, out)
@@ -157,6 +171,37 @@ def cpu_pippenger_raw(xs, ys, inf, ss, n, c: int = 0):
         int.from_bytes(raw[32:64], "little"),
         int.from_bytes(raw[64:96], "little"),
     )
+
+
+_active_curve: list = [None]
+
+
+def set_curve_native(curve) -> bool:
+    """Point the native SW-curve layer at `curve` (4x64-limb fq only).
+
+    The C++ field constants default to secq256k1; this recomputes and
+    installs (p, R^2, -p^{-1}, R, a*R) for any other curve so zorro (and
+    secp256k1) share the native Pippenger/commit paths. Returns False
+    when unsupported (TE model or fq wider than 4x64)."""
+    L = lib()
+    if L is None:
+        return False
+    if not hasattr(curve, "b") or curve.fq.num_bits > 256:
+        return False
+    if _active_curve[0] == curve.name:
+        return True
+    p = curve.fq.p
+    R = 1 << 256
+    L.abtpu_cpu_set_curve(
+        p.to_bytes(32, "little"),
+        (R * R % p).to_bytes(32, "little"),
+        (-pow(p, -1, 1 << 64)) % (1 << 64),
+        (R % p).to_bytes(32, "little"),
+        (curve.a * R % p).to_bytes(32, "little"),
+        1 if curve.a == 0 else 0,
+    )
+    _active_curve[0] = curve.name
+    return True
 
 
 def commit_many_native(B, B_blinding, values, blinds, p: int):

@@ -22,16 +22,36 @@ namespace {
 
 typedef unsigned __int128 u128;
 
-static const uint64_t P[4] = {0xbfd25e8cd0364141ULL, 0xbaaedce6af48a03bULL,
-                              0xfffffffffffffffeULL, 0xffffffffffffffffULL};
-// R^2 mod p for R = 2^256.
-static const uint64_t R2[4] = {0x896cf21467d7d140ULL, 0x741496c20e7cf878ULL,
-                               0xe697f5e45bcd07c6ULL, 0x9d671cd581c69bc5ULL};
-// -p^{-1} mod 2^64.
-static const uint64_t INV = 0x4b0dff665588b13fULL;
-// R mod p (Montgomery representation of 1).
-static const uint64_t ONE_MONT[4] = {0x402da1732fc9bebfULL,
-                                     0x4551231950b75fc4ULL, 0x1ULL, 0x0ULL};
+// Runtime curve parameters (default: secq256k1, y^2 = x^3 + 7 over the
+// secp256k1 group order). `abtpu_cpu_set_curve` switches them so zorro
+// (a = 6) and any other 4x64-limb short-Weierstrass curve reuse the
+// same code. thread_local: concurrent callers can't clobber each other.
+struct CurveParams {
+  uint64_t p_[4];        // modulus
+  uint64_t r2_[4];       // R^2 mod p, R = 2^256
+  uint64_t inv_;         // -p^{-1} mod 2^64
+  uint64_t one_mont_[4]; // R mod p
+  uint64_t a_mont_[4];   // curve a in Montgomery form
+  int a_is_zero;
+};
+
+static const CurveParams kSecq = {
+    {0xbfd25e8cd0364141ULL, 0xbaaedce6af48a03bULL, 0xfffffffffffffffeULL,
+     0xffffffffffffffffULL},
+    {0x896cf21467d7d140ULL, 0x741496c20e7cf878ULL, 0xe697f5e45bcd07c6ULL,
+     0x9d671cd581c69bc5ULL},
+    0x4b0dff665588b13fULL,
+    {0x402da1732fc9bebfULL, 0x4551231950b75fc4ULL, 0x1ULL, 0x0ULL},
+    {0, 0, 0, 0},
+    1,
+};
+
+static thread_local CurveParams g_cp = kSecq;
+
+#define P g_cp.p_
+#define R2 g_cp.r2_
+#define INV g_cp.inv_
+#define ONE_MONT g_cp.one_mont_
 
 struct Fp {
   uint64_t v[4];
@@ -132,7 +152,8 @@ static const Jac JAC_INF = {{{0, 0, 0, 0}}, {{0, 0, 0, 0}}, {{0, 0, 0, 0}}};
 
 static inline bool jac_is_inf(const Jac& p) { return fp_is_zero(p.z); }
 
-// Doubling, a = 0 (dbl-2009-l style on Jacobian coords).
+// Doubling (dbl-2009-l style on Jacobian coords; general a adds the
+// a*Z^4 term to the tangent slope M = 3X^2 + a*Z^4).
 static void jac_double(Jac& p) {
   if (jac_is_inf(p)) return;
   Fp A, B, C, D, E, F, t, t2;
@@ -146,6 +167,14 @@ static void jac_double(Jac& p) {
   fp_dbl(t, D);              // D = 2((X+B)^2 - A - C)
   fp_dbl(A, E);
   fp_add(E, A, E);           // E = 3A
+  if (!g_cp.a_is_zero) {
+    Fp zz, z4, am;
+    fp_sqr(p.z, zz);
+    fp_sqr(zz, z4);
+    std::memcpy(am.v, g_cp.a_mont_, 32);
+    fp_mul(am, z4, z4);
+    fp_add(E, z4, E);        // E = 3A + a*Z^4
+  }
   fp_sqr(E, F);              // F = E^2
   fp_dbl(D, t);
   fp_sub(F, t, p.x);         // X3 = F - 2D
@@ -279,6 +308,19 @@ static inline uint32_t scalar_digit(const uint8_t* s, uint32_t w, uint32_t c) {
 
 extern "C" {
 
+// Select the active curve for subsequent calls on this thread.
+// p/r2/one/a_mont: 32-byte little-endian; inv = -p^{-1} mod 2^64.
+void abtpu_cpu_set_curve(const uint8_t* p, const uint8_t* r2, uint64_t inv,
+                         const uint8_t* one, const uint8_t* a_mont,
+                         int a_is_zero) {
+  std::memcpy(g_cp.p_, p, 32);
+  std::memcpy(g_cp.r2_, r2, 32);
+  g_cp.inv_ = inv;
+  std::memcpy(g_cp.one_mont_, one, 32);
+  std::memcpy(g_cp.a_mont_, a_mont, 32);
+  g_cp.a_is_zero = a_is_zero;
+}
+
 // xs, ys: n * 32-byte little-endian affine coordinates (normal domain);
 // inf: n bytes (1 = point at infinity); scalars: n * 32-byte LE;
 // c: window bits (0 = auto via arkworks' ln approximation);
@@ -363,13 +405,15 @@ extern "C" void abtpu_cpu_commit_many(const uint8_t* xs, const uint8_t* ys,
   // pair is fixed per PedersenGens, so 5-commit calls reuse the ~30 ms
   // build; thread_local keeps concurrent callers safe).
   static thread_local std::vector<Jac> table;  // 2 * W * D
-  static thread_local uint8_t cached_key[128];
+  static thread_local uint8_t cached_key[160];  // bases + active modulus
   bool hit = table.size() == 2ull * W * D &&
              std::memcmp(cached_key, xs, 64) == 0 &&
-             std::memcmp(cached_key + 64, ys, 64) == 0;
+             std::memcmp(cached_key + 64, ys, 64) == 0 &&
+             std::memcmp(cached_key + 128, g_cp.p_, 32) == 0;
   if (!hit) {
     std::memcpy(cached_key, xs, 64);
     std::memcpy(cached_key + 64, ys, 64);
+    std::memcpy(cached_key + 128, g_cp.p_, 32);
     table.assign(2 * W * D, JAC_INF);
   }
   for (int b = 0; b < 2 && !hit; ++b) {

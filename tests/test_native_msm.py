@@ -73,6 +73,25 @@ def test_commit_many_matches_sequential():
 
 
 @pytest.mark.skipif(native.lib() is None, reason="native lib unavailable")
+def test_commit_many_zorro_and_curve_switching():
+    """The native layer's runtime curve parameters: zorro (a = 6, the
+    general-a Jacobian doubling) matches the host, and switching curves
+    invalidates the fixed-base table correctly."""
+    from ark_bulletproofs_tpu.generators import PedersenGens
+
+    prng = random.Random(9)
+    pcs = {name: PedersenGens.default(curves.ALL_CURVES[name])
+           for name in ("zorro", "secq256k1")}
+    for _ in range(2):  # interleave to exercise table re-builds
+        for name, pc in pcs.items():
+            f = pc.curve.fr
+            vs = [prng.randrange(f.p) for _ in range(9)]
+            rs = [prng.randrange(f.p) for _ in range(9)]
+            got = pc.commit_many(vs, rs)
+            assert got == [pc.commit(v, r) for v, r in zip(vs, rs)], name
+
+
+@pytest.mark.skipif(native.lib() is None, reason="native lib unavailable")
 def test_cpu_pippenger_window_sweep():
     """Explicit window sizes bracket the auto choice (digit plumbing)."""
     curve = curves.secq256k1
