@@ -78,6 +78,10 @@ def _keccak_f1600_py(lanes: list[int]) -> list[int]:
 
 def keccak_f1600_bytes(state: bytearray) -> None:
     """Apply Keccak-f[1600] in place to a 200-byte state (little-endian lanes)."""
+    from ..native import keccak_f1600_bytes_native
+
+    if keccak_f1600_bytes_native(state):
+        return
     lanes = [int.from_bytes(state[8 * i: 8 * i + 8], "little") for i in range(25)]
     lanes = keccak_f1600(lanes)
     for i, lane in enumerate(lanes):

@@ -523,6 +523,26 @@ def jacobian_batch_to_host(curve, arr) -> list:
     return out
 
 
+def jacobian_batch_ints(curve, arr) -> list:
+    """(3, B, 16) HOST limb array (Jacobian, Montgomery) -> B Jacobian
+    int tuples (X, Y, Z) in the normal domain — no inversions, so
+    callers can keep adding host points (e.g. the IPA compact rounds'
+    c*Q term) before one batched affine conversion."""
+    from .limbs import limbs_to_int
+
+    f = curve.fq
+    Rinv = f.R_inv
+    arr = np.asarray(arr)
+    return [
+        (
+            limbs_to_int(arr[0, b]) * Rinv % f.p,
+            limbs_to_int(arr[1, b]) * Rinv % f.p,
+            limbs_to_int(arr[2, b]) * Rinv % f.p,
+        )
+        for b in range(arr.shape[1])
+    ]
+
+
 def pvary(x, axis_name):
     """Promote a replicated value to device-varying under shard_map.
 

@@ -225,6 +225,43 @@ def mont_sqr(spec: FieldSpec, a):
     return mont_mul(spec, a, a)
 
 
+def mont_mul_fast(spec: FieldSpec, a, b):
+    """`mont_mul` routed through the Pallas CIOS kernel on TPU.
+
+    The XLA elementwise path above lowers the 16x16-limb schoolbook to
+    ~2000 vector ops/element with (…, 16)-minor layouts the TPU pads
+    8x — measured ~250 ns/mul at n=2^16 (97.6 ms for one (6, n) stack)
+    vs ~1 ns/mul through the (8, 128)-tiled kernel. Shapes are
+    flattened to (m, 16), padded to the kernel BLOCK, and restored;
+    CPU (tests) keeps the XLA path (interpret-mode Pallas is slower
+    still)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        return mont_mul(spec, a, b)
+    from . import kernels as k
+
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape).reshape(-1, N_LIMBS)
+    b = jnp.broadcast_to(b, shape).reshape(-1, N_LIMBS)
+    m = a.shape[0]
+    pad = (-m) % k.BLOCK
+    if pad:
+        zp = ((0, pad), (0, 0))
+        a = jnp.pad(a, zp)
+        b = jnp.pad(b, zp)
+    out = k.mont_mul_tiled(spec, a, b)
+    if pad:
+        out = out[:m]
+    return out.reshape(shape)
+
+
+def from_mont_fast(spec: FieldSpec, a):
+    """`from_mont` through the Pallas kernel (see mont_mul_fast)."""
+    one = jnp.zeros(N_LIMBS, U32).at[0].set(1)
+    return mont_mul_fast(spec, a, jnp.broadcast_to(one, a.shape))
+
+
 def to_mont(spec: FieldSpec, a):
     """Canonical limbs -> Montgomery form (multiply by R^2)."""
     return mont_mul(spec, a, jnp.asarray(spec.r2_arr))

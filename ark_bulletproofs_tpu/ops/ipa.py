@@ -56,7 +56,7 @@ def _fold_math(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, a_up, b_up,
                         jnp.broadcast_to(u_inv, gm.shape))
     u_sel_h = df.select(right, jnp.broadcast_to(u_inv, hm.shape),
                         jnp.broadcast_to(u, hm.shape))
-    prods = df.mont_mul(
+    prods = df.mont_mul_fast(
         fr,
         jnp.stack([a, a_up, b, b_up, gm, hm]),
         jnp.stack(
@@ -159,10 +159,183 @@ def _fold_sharded(fr: df.FieldSpec, a, b, gm, hm, u, u_inv, cur: int):
 # same graph size as a single MSM, 2x the window groups. When an engine
 # mesh is active the base-table axis shards across it (per-round L/R
 # partial points are the only cross-chip traffic, SURVEY.md §5).
-def _msm_pair(spec, c, X, Y, inf, scal):
+def _msm_pair(spec, c, X, Y, inf, scal, base_map=None):
     from ..parallel.msm import msm_device_maybe_sharded
 
-    return msm_device_maybe_sharded(spec, c, X, Y, inf, scal)
+    return msm_device_maybe_sharded(spec, c, X, Y, inf, scal, base_map)
+
+
+# --- compact rounds ------------------------------------------------------
+#
+# The full-width round rows ([gw | hw | c*qw | pad], ops above) carry 2N+1
+# scalars padded to 4N, but the gw/hw masks are COMPLEMENTARY: for every
+# original index i exactly one of (G_i, H_i) has a nonzero scalar in each
+# row (gw_L lives where (i mod cur) >= m, hw_L on the other half, and
+# vice versa for R). So each round is really an N-term MSM over a per-
+# round CHOICE of G_i-or-H_i — expressed below as an N-wide scalar row
+# plus a base_map indirection into the fixed [G | H] table (composed
+# into the MSM's sort-order gather, ops/msm2.py::_stage_gather — no
+# gathered tables are materialized). The Q term (c_L * qw) leaves the
+# MSM entirely: it is fetched with the L/R partials in the SAME device
+# sync the Fiat-Shamir chain already requires and added on host via the
+# native fixed-base path. 4x fewer MSM terms per round, bit-identical
+# proofs. Reference shape: src/inner_product_proof.rs:96-135.
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _round_scalars_compact(fr: df.FieldSpec, a, b, gm, hm, qw, m, curm1):
+    """One round's compact MSM inputs: (rows (2, N, 16) canonical,
+    base_map (2, N) int32 into [G | H], cq (2, 16) canonical Q scalars).
+    """
+    N = a.shape[0]
+    idx = jnp.arange(N, dtype=U32)
+    i = idx & curm1
+    right = i >= m
+    active = idx < m
+
+    up_idx = (i + m).astype(jnp.int32)
+    a_up = jnp.take(a, up_idx, axis=0, mode="clip")
+    b_up = jnp.take(b, up_idx, axis=0, mode="clip")
+    dn_idx = jnp.maximum(i.astype(jnp.int32) - m.astype(jnp.int32), 0)
+    a_dn = jnp.take(a, dn_idx, axis=0, mode="clip")
+    b_dn = jnp.take(b, dn_idx, axis=0, mode="clip")
+
+    prods = df.mont_mul_fast(
+        fr,
+        jnp.stack([a_dn, b_up, a_up, b_dn, a, a_up]),
+        jnp.stack([gm, hm, gm, hm, b_up, b]),
+    )
+    # row_L: gw_L = a_dn*gm on right-half slots (base G_i), hw_L = b_up*hm
+    # on left-half slots (base H_i) — exactly one per index. row_R is the
+    # complement.
+    row_L = df.select(right, prods[0], prods[1])
+    row_R = df.select(right, prods[3], prods[2])
+    iN = idx.astype(jnp.int32)
+    bm_L = jnp.where(right, iN, iN + N)
+    bm_R = jnp.where(right, iN + N, iN)
+
+    zero = jnp.zeros_like(a)
+    c_L = df.sum_mod(fr, df.select(active, prods[4], zero))
+    c_R = df.sum_mod(fr, df.select(active, prods[5], zero))
+    c_LR = df.mont_mul(fr, jnp.stack([c_L, c_R]), jnp.stack([qw, qw]))
+
+    rows = df.from_mont_fast(fr, jnp.stack([row_L, row_R]))
+    cq = df.from_mont(fr, c_LR)
+    return rows, jnp.stack([bm_L, bm_R]), cq
+
+
+def _cq_ints(curve, rows) -> list[int]:
+    """Host (K, 16) canonical Fr limb rows -> K ints."""
+    from .limbs import limbs_to_int
+
+    return [limbs_to_int(rows[k]) % curve.fr.p for k in range(rows.shape[0])]
+
+
+def _host_q_jacs(curve, Q, values: list[int]) -> list:
+    """[v * Q] as host Jacobian int tuples, via the native fixed-base
+    window tables when available (the per-base table build is cached in
+    the C++ layer, so lg-n rounds against one Q cost ~us each after the
+    first). Fallback: the exact host double-and-add."""
+    from .. import native
+
+    if (
+        len(values) >= 2
+        and getattr(curve, "b", None) is not None
+        and native.set_curve_native(curve)
+    ):
+        jacs = native.commit_many_native(
+            Q, Q, values, [0] * len(values), curve.fr.p
+        )
+        if jacs is not None:
+            return jacs
+    return [curve.to_proj(curve.mul(Q, v)) for v in values]
+
+
+# One fused program per round (single-proof prover): [pending fold] ->
+# compact round scalars -> v2 MSM -> Jacobian -> one (8, 16) fetch
+# block. Through the tunneled TPU every dispatch is a ~27.5 ms RPC;
+# chaining the round's five phases from the host costs more in RPCs
+# than the device math (measured 5.2 s vs ~2.7 s of device time at
+# n = 2^16) — fusing them makes a round exactly one dispatch + the one
+# blocking fetch the Fiat-Shamir chain forces anyway.
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _round_step(spec, fr: df.FieldSpec, c: int, do_fold: bool,
+                X, Y, inf, a, b, gm, hm, one_q,
+                u, u_inv, fold_m, fold_curm1, m, curm1):
+    from . import msm2
+    from . import proj as dpj
+
+    if do_fold:
+        a, b, gm, hm = _fold.__wrapped__(
+            fr, a, b, gm, hm, u, u_inv, fold_m, fold_curm1
+        )
+    rows, bm, cq = _round_scalars_compact.__wrapped__(
+        fr, a, b, gm, hm, one_q, m, curm1
+    )
+    pts = dpj.to_jacobian(
+        spec, msm2.msm2_impl(spec, c, X, Y, inf, rows, bm)
+    )
+    fetch = jnp.concatenate(
+        [jnp.stack(pts).reshape(6, N_LIMBS), cq], axis=0
+    )
+    return a, b, gm, hm, fetch
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _round_scalars_compact_batch(fr: df.FieldSpec, A, Bv, GM, HM, QW,
+                                 m, curm1):
+    """Vmapped compact rounds for P lockstep proofs: (rows (P, 2, N, 16),
+    base_map (2, N) — shared, cur is common across the batch —
+    cq (P, 2, 16))."""
+
+    def one(a, b, gm, hm, qw):
+        rows, _, cq = _round_scalars_compact.__wrapped__(
+            fr, a, b, gm, hm, qw, m, curm1
+        )
+        return rows, cq
+
+    rows, cq = jax.vmap(one)(A, Bv, GM, HM, QW)
+    N = A.shape[1]
+    idx = jnp.arange(N, dtype=U32)
+    right = (idx & curm1) >= m
+    iN = idx.astype(jnp.int32)
+    bm = jnp.stack(
+        [jnp.where(right, iN, iN + N), jnp.where(right, iN + N, iN)]
+    )
+    return rows, bm, cq
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _round_step_batch(spec, fr: df.FieldSpec, c: int, do_fold: bool,
+                      X, Y, inf, A, Bv, GM, HM, QW,
+                      U, Ui, fold_m, fold_curm1, m, curm1):
+    """Fused one-dispatch round for the P-proof lockstep prover (see
+    _round_step): [pending vmapped fold] -> batched compact scalars ->
+    one batched v2 MSM -> (8P, 16) fetch block."""
+    from . import msm2
+    from . import proj as dpj
+
+    if do_fold:
+        A, Bv, GM, HM = _fold_batch.__wrapped__(
+            fr, A, Bv, GM, HM, U, Ui, fold_m, fold_curm1
+        )
+    rows, bm, cq = _round_scalars_compact_batch.__wrapped__(
+        fr, A, Bv, GM, HM, QW, m, curm1
+    )
+    P, _, N, _ = rows.shape
+    scal = rows.reshape(2 * P, N, N_LIMBS)
+    bm_full = jnp.tile(bm, (P, 1))
+    pts = dpj.to_jacobian(
+        spec, msm2.msm2_impl(spec, c, X, Y, inf, scal, bm_full)
+    )
+    fetch = jnp.concatenate(
+        [
+            jnp.stack(pts).reshape(6 * P, N_LIMBS),
+            cq.reshape(2 * P, N_LIMBS),
+        ],
+        axis=0,
+    )
+    return A, Bv, GM, HM, fetch
 
 
 class IpaDeviceProver:
@@ -176,6 +349,7 @@ class IpaDeviceProver:
         N = len(G_vec)
         self.N = N
         self.M = dmsm._pad_pow2(2 * N + 1)
+        self.Q = Q  # host affine; compact rounds add c*Q host-side
         bases = list(G_vec) + list(H_vec) + [Q]
         bases += [None] * (self.M - len(bases))
         X, Y, inf = dc.affine_to_device(curve, bases)
@@ -194,6 +368,9 @@ class IpaDeviceProver:
         self.gm = mont(G_factors)
         self.hm = mont(H_factors)
         self.c = dmsm._window_bits(self.M)
+        self.c_compact = dmsm._window_bits(N)
+        self._one_q = df.mont_one(self.fr, ())
+        self._pending_fold = None  # (u, u_inv, cur) under the fused path
 
         # Mesh-sharded vector phase: shard the length-N witness/weight
         # state itself (SURVEY.md §5 "sharded length-n") when an engine
@@ -218,41 +395,118 @@ class IpaDeviceProver:
             )
             self._one = df.mont_one(self.fr, ())
 
+        # Fused one-dispatch rounds (TPU, single chip, v2-eligible):
+        # every tunnel dispatch is a ~27.5 ms RPC, so the round's
+        # fold/scalars/MSM/pack phases run as ONE program (_round_step).
+        self._fused = (
+            not self._sharded
+            and jax.devices()[0].platform != "cpu"
+            and isinstance(self.spec, dc.CurveSpec)
+            and N >= 128
+        )
+
+    def _u_limbs(self, u: int, u_inv: int):
+        p, R = self.curve.fr.p, self.curve.fr.R
+        return (
+            jnp.asarray(ints_to_limbs([u * R % p])[0]),
+            jnp.asarray(ints_to_limbs([u_inv * R % p])[0]),
+        )
+
+    def _host_lr(self, arr):
+        """(8, 16) fetch block -> host (L, R) with the c*Q term added."""
+        jacs = dc.jacobian_batch_ints(
+            self.curve, arr[:6].reshape(3, 2, N_LIMBS)
+        )
+        qj = _host_q_jacs(self.curve, self.Q, _cq_ints(self.curve, arr[6:]))
+        return self.curve.batch_to_affine(
+            [self.curve.proj_add(jacs[j], qj[j]) for j in range(2)]
+        )
+
     def round_commit(self, cur: int):
         """Compute (L, R) host affine points for the current round."""
         if self._sharded:
+            # Mesh path: full-width rows (the base_map indirection would
+            # gather across the sharded table axis).
             scal2 = _round_scalars_sharded(
                 self.fr, self.a, self.b, self.gm, self.hm, self._one,
                 cur, self.M,
             )
-        else:
-            scal2 = _round_scalars(
-                self.fr, self.a, self.b, self.gm, self.hm,
-                jnp.uint32(cur // 2), jnp.uint32(cur - 1), self.M,
+            pts = _msm_pair(
+                self.spec, self.c, self.X, self.Y, self.inf, scal2
             )
-        pts = _msm_pair(self.spec, self.c, self.X, self.Y, self.inf, scal2)
-        host = dc.jacobian_batch_to_host(self.curve, jnp.stack(pts))
-        return host[0], host[1]
+            host = dc.jacobian_batch_to_host(self.curve, jnp.stack(pts))
+            return host[0], host[1]
+        if self._fused:
+            from . import msm2
+
+            pend = self._pending_fold
+            self._pending_fold = None
+            if pend is None:
+                z = jnp.zeros(N_LIMBS, U32)
+                u_l = ui_l = z
+                fm = fc = jnp.uint32(0)
+            else:
+                u_l, ui_l = self._u_limbs(pend[0], pend[1])
+                fm, fc = jnp.uint32(pend[2] // 2), jnp.uint32(pend[2] - 1)
+            self.a, self.b, self.gm, self.hm, fetch = _round_step(
+                self.spec, self.fr, msm2.window_bits(self.N),
+                pend is not None,
+                self.X, self.Y, self.inf,
+                self.a, self.b, self.gm, self.hm, self._one_q,
+                u_l, ui_l, fm, fc,
+                jnp.uint32(cur // 2), jnp.uint32(cur - 1),
+            )
+            return self._host_lr(np.asarray(fetch))
+        rows, bm, cq = _round_scalars_compact(
+            self.fr, self.a, self.b, self.gm, self.hm, self._one_q,
+            jnp.uint32(cur // 2), jnp.uint32(cur - 1),
+        )
+        pts = _msm_pair(
+            self.spec, self.c_compact, self.X, self.Y, self.inf, rows, bm
+        )
+        # ONE fetch: 2 Jacobian partials + the 2 Q scalars ride together
+        # in the sync the Fiat-Shamir chain needs anyway.
+        arr = np.asarray(
+            jnp.concatenate(
+                [jnp.stack(pts).reshape(6, N_LIMBS), cq], axis=0
+            )
+        )
+        return self._host_lr(arr)
 
     def fold(self, cur: int, u: int, u_inv: int):
-        p, R = self.curve.fr.p, self.curve.fr.R
-        u_l = ints_to_limbs([u * R % p])[0]
-        ui_l = ints_to_limbs([u_inv * R % p])[0]
+        if self._fused:
+            # Defer: the fold rides the NEXT round's fused program (or
+            # final_ab) — zero standalone dispatches.
+            self._pending_fold = (u, u_inv, cur)
+            return
+        u_l, ui_l = self._u_limbs(u, u_inv)
         if self._sharded:
             self.a, self.b, self.gm, self.hm = _fold_sharded(
                 self.fr, self.a, self.b, self.gm, self.hm,
-                jnp.asarray(u_l), jnp.asarray(ui_l), cur,
+                u_l, ui_l, cur,
             )
         else:
             self.a, self.b, self.gm, self.hm = _fold(
                 self.fr, self.a, self.b, self.gm, self.hm,
-                jnp.asarray(u_l), jnp.asarray(ui_l),
+                u_l, ui_l,
                 jnp.uint32(cur // 2), jnp.uint32(cur - 1),
             )
+
+    def _apply_pending_fold(self):
+        pend = self._pending_fold
+        if pend is None:
+            return
+        self._pending_fold = None
+        u_l, ui_l = self._u_limbs(pend[0], pend[1])
+        self.a, self.b, self.gm, self.hm = _fold(
+            self.fr, self.a, self.b, self.gm, self.hm, u_l, ui_l,
+            jnp.uint32(pend[2] // 2), jnp.uint32(pend[2] - 1),
+        )
 
     def final_ab(self) -> tuple[int, int]:
         from .limbs import limbs_to_int
 
+        self._apply_pending_fold()
         Rinv = self.curve.fr.R_inv
         p = self.curve.fr.p
         a0 = limbs_to_int(np.asarray(self.a[0])) * Rinv % p
@@ -353,6 +607,7 @@ class IpaBatchProver:
         N = len(G_vec)
         self.P, self.N = P, N
         self.M = dmsm._pad_pow2(2 * N + 1)
+        self.base_B = base_B  # host affine; compact rounds add c*w*B
         bases = list(G_vec) + list(H_vec) + [base_B]
         bases += [None] * (self.M - len(bases))
         X, Y, inf = dc.affine_to_device(curve, bases)
@@ -360,6 +615,14 @@ class IpaBatchProver:
         self.Y = jax.device_put(Y)
         self.inf = jax.device_put(np.asarray(inf))
         p, R = curve.fr.p, curve.fr.R
+
+        # Compact rounds need single-device MSMs (the base_map
+        # indirection gathers across what would be the sharded axis);
+        # with an active multi-device mesh keep the full-width rows.
+        from .. import engine as _engine
+
+        mesh = _engine.active_mesh()
+        self._compact = mesh is None or mesh.devices.size <= 1
 
         def mont2(rows):
             flat = [x % p * R % p for row in rows for x in row]
@@ -375,26 +638,99 @@ class IpaBatchProver:
             ints_to_limbs([w % p * R % p for w in ws])
         )
         self.c = dmsm._window_bits(self.M)
+        self.c_compact = dmsm._window_bits(N)
+        self._pending_fold = None
+        # Fused one-dispatch rounds (see IpaDeviceProver._fused).
+        self._fused = (
+            self._compact
+            and jax.devices()[0].platform != "cpu"
+            and isinstance(self.spec, dc.CurveSpec)
+            and N >= 16
+        )
+
+    def _u_limbs_batch(self, us, u_invs):
+        p, R = self.curve.fr.p, self.curve.fr.R
+        U = jnp.asarray(ints_to_limbs([u % p * R % p for u in us]))
+        Ui = jnp.asarray(ints_to_limbs([u % p * R % p for u in u_invs]))
+        return U, Ui
+
+    def _host_lrs(self, arr):
+        """(8P, 16) fetch block -> [(L_b, R_b)] host affine pairs."""
+        P = self.P
+        jacs = dc.jacobian_batch_ints(
+            self.curve, arr[: 6 * P].reshape(3, 2 * P, N_LIMBS)
+        )
+        qj = _host_q_jacs(
+            self.curve, self.base_B, _cq_ints(self.curve, arr[6 * P:])
+        )
+        aff = self.curve.batch_to_affine(
+            [self.curve.proj_add(jacs[k], qj[k]) for k in range(2 * P)]
+        )
+        return [(aff[2 * b], aff[2 * b + 1]) for b in range(P)]
 
     def round_commit(self, cur: int):
         """[(L_b, R_b)] host affine points for the current round."""
         m = jnp.uint32(cur // 2)
         curm1 = jnp.uint32(cur - 1)
-        rows = _round_scalars_batch(
-            self.fr, self.A, self.B, self.GM, self.HM, self.QW,
-            m, curm1, self.M,
-        )  # (P, 2, M, 16)
-        scal = rows.reshape(2 * self.P, self.M, N_LIMBS)
-        pts = _msm_pair(self.spec, self.c, self.X, self.Y, self.inf, scal)
-        # ONE fetch for all 2P points (per-point fetches are ~29 ms
-        # tunnel RPCs each — see jacobian_batch_to_host).
-        host = dc.jacobian_batch_to_host(self.curve, jnp.stack(pts))
-        return [(host[2 * b], host[2 * b + 1]) for b in range(self.P)]
+        P = self.P
+        if not self._compact:
+            rows = _round_scalars_batch(
+                self.fr, self.A, self.B, self.GM, self.HM, self.QW,
+                m, curm1, self.M,
+            )  # (P, 2, M, 16)
+            scal = rows.reshape(2 * P, self.M, N_LIMBS)
+            pts = _msm_pair(
+                self.spec, self.c, self.X, self.Y, self.inf, scal
+            )
+            # ONE fetch for all 2P points (per-point fetches are ~29 ms
+            # tunnel RPCs each — see jacobian_batch_to_host).
+            host = dc.jacobian_batch_to_host(self.curve, jnp.stack(pts))
+            return [(host[2 * b], host[2 * b + 1]) for b in range(P)]
+        if self._fused:
+            from . import msm2
+
+            pend = self._pending_fold
+            self._pending_fold = None
+            if pend is None:
+                Z = jnp.zeros((P, N_LIMBS), U32)
+                U = Ui = Z
+                fm = fc = jnp.uint32(0)
+            else:
+                U, Ui = self._u_limbs_batch(pend[0], pend[1])
+                fm, fc = jnp.uint32(pend[2] // 2), jnp.uint32(pend[2] - 1)
+            self.A, self.B, self.GM, self.HM, fetch = _round_step_batch(
+                self.spec, self.fr, msm2.window_bits(self.N),
+                pend is not None,
+                self.X, self.Y, self.inf,
+                self.A, self.B, self.GM, self.HM, self.QW,
+                U, Ui, fm, fc, m, curm1,
+            )
+            return self._host_lrs(np.asarray(fetch))
+        rows, bm, cq = _round_scalars_compact_batch(
+            self.fr, self.A, self.B, self.GM, self.HM, self.QW, m, curm1
+        )  # (P, 2, N, 16), (2, N), (P, 2, 16)
+        scal = rows.reshape(2 * P, self.N, N_LIMBS)
+        bm_full = jnp.tile(bm, (P, 1))  # (2P, N); cur is batch-wide
+        pts = _msm_pair(
+            self.spec, self.c_compact, self.X, self.Y, self.inf, scal,
+            bm_full,
+        )
+        arr = np.asarray(
+            jnp.concatenate(
+                [
+                    jnp.stack(pts).reshape(6 * P, N_LIMBS),
+                    cq.reshape(2 * P, N_LIMBS),
+                ],
+                axis=0,
+            )
+        )
+        return self._host_lrs(arr)
 
     def fold(self, cur: int, us: list[int], u_invs: list[int]):
-        p, R = self.curve.fr.p, self.curve.fr.R
-        U = jnp.asarray(ints_to_limbs([u % p * R % p for u in us]))
-        Ui = jnp.asarray(ints_to_limbs([u % p * R % p for u in u_invs]))
+        if self._fused:
+            self._pending_fold = (us, u_invs, cur)  # rides the next step
+            return
+        U, Ui = self._u_limbs_batch(us, u_invs)
         self.A, self.B, self.GM, self.HM = _fold_batch(
             self.fr, self.A, self.B, self.GM, self.HM, U, Ui,
             jnp.uint32(cur // 2), jnp.uint32(cur - 1),
@@ -403,6 +739,14 @@ class IpaBatchProver:
     def final_ab(self) -> list[tuple[int, int]]:
         from .limbs import limbs_to_int
 
+        pend = self._pending_fold
+        if pend is not None:
+            self._pending_fold = None
+            U, Ui = self._u_limbs_batch(pend[0], pend[1])
+            self.A, self.B, self.GM, self.HM = _fold_batch(
+                self.fr, self.A, self.B, self.GM, self.HM, U, Ui,
+                jnp.uint32(pend[2] // 2), jnp.uint32(pend[2] - 1),
+            )
         Rinv = self.curve.fr.R_inv
         p = self.curve.fr.p
         A = np.asarray(self.A[:, 0])

@@ -136,7 +136,7 @@ def _tree_reduce(spec, P, S: int):
     return tuple(coord[..., 0, :] for coord in out)
 
 
-def msm_impl(spec, c: int, X, Y, inf, scal, axis_name=None):
+def msm_impl(spec, c: int, X, Y, inf, scal, axis_name=None, base_map=None):
     """Full Pippenger MSM on device (pure function; jit via msm_device).
 
     X, Y: (n, 16) affine Montgomery limbs; inf: (n,) bool; scal: (n, 16)
@@ -145,8 +145,14 @@ def msm_impl(spec, c: int, X, Y, inf, scal, axis_name=None):
     sets is flattened through the same group machinery). n must be a
     power of two. `axis_name` marks execution inside a shard_map body so
     replicated scan-carry inits are pvary'd (vma consistency).
+
+    base_map (B, n) int32, optional: per-set base indirection — scalar j
+    of set b multiplies table row base_map[b, j]; X/Y/inf may then be
+    WIDER than n. Composed into the sorted-order gather (zero extra
+    passes); lets callers avoid padding zero scalars when each set
+    touches an n-subset of a shared table (e.g. IPA compact rounds).
     """
-    n = X.shape[0]
+    n = scal.shape[-2] if base_map is not None else X.shape[0]
     B = scal.shape[0] if scal.ndim == 3 else 1
     W = SCALAR_BITS // c
     BW = B * W
@@ -171,6 +177,12 @@ def msm_impl(spec, c: int, X, Y, inf, scal, axis_name=None):
         # flat sorted index i = col*R + r  ->  [r, G, col]; gather the
         # points DIRECTLY into that layout (transposing the small index
         # array instead of three big limb arrays).
+        if base_map is not None:
+            bm_g = jnp.take(
+                base_map.astype(jnp.int32), (ws // W).astype(jnp.int32),
+                axis=0,
+            )  # (G, n)
+            order = jnp.take_along_axis(bm_g, order, axis=-1)
         idx_rgc = order.reshape(G, C, R).transpose(2, 0, 1)  # (R, G, C)
         cX, cY = X[idx_rgc], Y[idx_rgc]  # (R, G, C, 16)
         cI = inf[idx_rgc]
@@ -271,37 +283,27 @@ def _pad_pow2(n: int) -> int:
 def msm(curve, bases: list, scalars: list[int]):
     """Host-facing device MSM: affine int points + int scalars -> affine.
 
-    Pads to the next power of two with identity points so repeated
-    protocol calls of similar size share one compiled program.
+    Routes through the ragged driver (parallel/msm.py): the base axis is
+    split into power-of-two chunks instead of padding to the next power
+    of two (protocol MSMs like the prover's [B | G | H] = 2n+1 layout
+    would otherwise DOUBLE, reference src/r1cs/prover.rs:516), each chunk
+    takes the mesh/v2/v1 fast path, and only a sub-chunk remainder is
+    padded — so repeated protocol calls share compiled programs at
+    canonical power-of-two widths.
     """
     assert len(bases) == len(scalars)
     n = len(bases)
     if n == 0:
         return curve.zero()
     spec = dc.spec_for(curve)
-    m = _pad_pow2(n)
     fr_p = curve.fr.p
-    ks = [s % fr_p for s in scalars] + [0] * (m - n)
-    pts = list(bases) + [None] * (m - n)
+    ks = [s % fr_p for s in scalars]
 
-    X, Y, inf = dc.affine_to_device(curve, pts)
+    X, Y, inf = dc.affine_to_device(curve, list(bases))
     scal = ints_to_limbs(ks)
-    import jax
+    from ..parallel.msm import msm_device_ragged
 
-    if (
-        m >= 1024
-        and not dc.is_te(spec)
-        and jax.devices()[0].platform != "cpu"
-    ):
-        # large TPU sizes: the fused mega-kernel Pippenger (ops/msm2.py)
-        from . import msm2
-        from . import proj as dpj
-
-        c2 = msm2.window_bits(m)
-        out = msm2.msm2_device(spec, c2, X, Y, np.asarray(inf), scal)
-        return dpj.point_to_host(curve, out)
-    c = _window_bits(m)
-    out = msm_device(spec, c, X, Y, np.asarray(inf), scal)
+    out = msm_device_ragged(spec, X, Y, np.asarray(inf), scal)
     return dc.point_to_host(curve, out)
 
 
@@ -314,41 +316,24 @@ def msm_many(curve, bases: list, scalar_sets: list[list[int]]):
 
     Replaces B sequential `VariableBaseMSM::msm` calls with identical
     bases (e.g. the prover's phase-1 A_I/A_O/S commitments across a
-    proof batch, reference src/r1cs/prover.rs:516-559)."""
+    proof batch, reference src/r1cs/prover.rs:516-559). Base axis is
+    chunk-split like `msm` (no next-power-of-two padding)."""
     n = len(bases)
     if n == 0 or not scalar_sets:
         return [curve.zero() for _ in scalar_sets]
     spec = dc.spec_for(curve)
-    m = _pad_pow2(n)
     fr_p = curve.fr.p
     B = len(scalar_sets)
     flat: list[int] = []
     for ks in scalar_sets:
         assert len(ks) == n
         flat.extend(s % fr_p for s in ks)
-        flat.extend([0] * (m - n))
-    pts = list(bases) + [None] * (m - n)
 
-    X, Y, inf = dc.affine_to_device(curve, pts)
-    scal = ints_to_limbs(flat).reshape(B, m, 16)
-    import jax
+    X, Y, inf = dc.affine_to_device(curve, list(bases))
+    scal = ints_to_limbs(flat).reshape(B, n, 16)
+    from ..parallel.msm import msm_device_ragged
 
-    if (
-        m >= 1024
-        and not dc.is_te(spec)
-        and jax.devices()[0].platform != "cpu"
-    ):
-        from . import msm2
-        from . import proj as dpj
-
-        c2 = msm2.window_bits(m)
-        out = msm2.msm2_device(spec, c2, X, Y, np.asarray(inf), scal)
-        return [
-            dpj.point_to_host(curve, tuple(a[b] for a in out))
-            for b in range(B)
-        ]
-    c = _window_bits(m)
-    out = msm_device(spec, c, X, Y, np.asarray(inf), scal)
+    out = msm_device_ragged(spec, X, Y, np.asarray(inf), scal)
     return [
         dc.point_to_host(curve, tuple(a[b] for a in out)) for b in range(B)
     ]

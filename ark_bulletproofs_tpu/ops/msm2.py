@@ -68,7 +68,12 @@ def window_bits(n: int) -> int:
     elif n >= (1 << 10):
         c = 8
     else:
-        c = max(2, lg - 4)
+        # floor of 4: below that the window count W = ceil(256/c)
+        # explodes (c=2 doubles every per-row stage) while the bucket
+        # stage S = 2^c is already tiny; measured at the P=128 n=64 IPA
+        # batch, c=4 beats c=8 (27.4 vs 18.96 proofs/s at table width
+        # 256) and c=2 runs out of rowsum split (S < 16).
+        c = max(4, lg - 4)
     return min(c, 32 - lg)
 
 
@@ -132,7 +137,11 @@ class _Cfg:
 
     def __init__(self, n: int, c: int, B: int):
         lg = _log2(n)
-        assert n == 1 << lg and n >= V2_MIN_N
+        # n >= 16 keeps the column-carry split (c1 = 16) well-formed;
+        # ROUTING thresholds (V2_MIN_N etc.) live in the callers — e.g.
+        # base-mapped IPA rounds run n = 128 compact rows profitably
+        # because B*W row count keeps the kernels saturated.
+        assert n == 1 << lg and n >= 16
         assert c + lg <= 32
         self.n, self.c, self.B, self.lg = n, c, B, lg
         self.W = -(-SCALAR_BITS // c)  # ceil
@@ -155,7 +164,7 @@ def _stage_sort(g: _Cfg, scal):
     return order, sd
 
 
-def _stage_gather(g: _Cfg, X, Y, inf, order):
+def _stage_gather(g: _Cfg, X, Y, inf, order, base_map=None):
     """Gather sorted PACKED coords into the limb-major (R, NL, L) layout.
 
     sorted flat index i = col*R + r; lane layout l = row*C + col.
@@ -164,9 +173,19 @@ def _stage_gather(g: _Cfg, X, Y, inf, order):
     dispatch-bound ~6 ns/row under 64 bytes and falls off a ~6x cliff
     past that, so packing halves the dominant row count) + an XLA
     limb-major transpose (bandwidth-bound; an in-kernel relayout costs
-    ~8x the madd math). Identity rows carry y = 0."""
+    ~8x the madd math). Identity rows carry y = 0.
+
+    base_map (B, n) int32, optional: per-scalar-set indirection into a
+    base table WIDER than n — composed into the sort order here, so the
+    big coordinate gather stays a single pass (zero extra cost). Lets
+    callers run n-term MSMs whose bases are a per-set selection from a
+    shared table (e.g. the IPA's per-round G-or-H base choice) without
+    materializing gathered tables or padding zero scalars."""
     Yz = jnp.where(inf[:, None], jnp.zeros_like(Y), Y)
-    XY = X | (Yz << 16)  # (n, NL) packed affine coords
+    XY = X | (Yz << 16)  # (n_table, NL) packed affine coords
+    if base_map is not None:
+        bm = jnp.repeat(base_map.astype(jnp.int32), g.W, axis=0)  # (BW, n)
+        order = jnp.take_along_axis(bm, order, axis=1)
     ord_r = order.reshape(g.BW, g.C, g.R).transpose(2, 0, 1).reshape(g.R, g.L)
     return jnp.swapaxes(XY[ord_r], 1, 2)  # (R, NL, L)
 
@@ -232,7 +251,7 @@ def _stage_rowsum(g: _Cfg, spec, U):
 
     (The unpadded lane count of the result is exactly g.BW.)"""
     S, BW = g.S, g.BW
-    K1 = 16 if S <= 1024 else 64
+    K1 = (16 if S <= 1024 else 64) if S >= 16 else S
     M1 = S // K1
     p1_in = _tmap(
         lambda a: a.reshape(BW, K1, M1, NL)
@@ -262,16 +281,21 @@ def _stage_horner(g: _Cfg, spec, wsum):
     return _tmap(lambda a: a[:, :B].T, acc)  # (B, NL)
 
 
-def msm2_impl(spec, c: int, X, Y, inf, scal):
+def msm2_impl(spec, c: int, X, Y, inf, scal, base_map=None):
     """v2 Pippenger. X, Y: (n, 16) affine Montgomery limbs; inf: (n,)
     bool; scal: (n, 16) or (B, n, 16) canonical scalar limbs. n must be
     a power of two >= V2_MIN_N. Returns a projective point: coords (16,)
     for one scalar set, (B, 16) for a batch. Points are homogeneous
     projective (RCB complete formulas) end to end; convert with
-    ops/proj.py::point_to_host."""
-    g = _Cfg(X.shape[0], c, scal.shape[0] if scal.ndim == 3 else 1)
+    ops/proj.py::point_to_host.
+
+    base_map (B, n) int32, optional: per-set base indirection — scalar j
+    of set b multiplies table row base_map[b, j]; X/Y/inf may then be
+    wider than n (see _stage_gather)."""
+    n = scal.shape[-2] if base_map is not None else X.shape[0]
+    g = _Cfg(n, c, scal.shape[0] if scal.ndim == 3 else 1)
     order, sd = _stage_sort(g, scal)
-    gxy = _stage_gather(g, X, Y, inf, order)
+    gxy = _stage_gather(g, X, Y, inf, order, base_map)
     lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
     excl_col = _stage_carries(g, spec, lX, lY, lZ)
     U = _stage_buckets(g, spec, sd, lX, lY, lZ, excl_col)
@@ -288,7 +312,7 @@ msm2_device = jax.jit(msm2_impl, static_argnums=(0, 1))
 _STAGED_CACHE: dict = {}
 
 
-def msm2_device_staged(spec, c: int, X, Y, inf, scal):
+def msm2_device_staged(spec, c: int, X, Y, inf, scal, base_map=None):
     """The v2 pipeline as SEVEN host-chained jit programs (one per stage)
     instead of one fused program.
 
@@ -299,7 +323,9 @@ def msm2_device_staged(spec, c: int, X, Y, inf, scal):
     (no host sync between stages) and lets each buffer die at stage
     granularity. Same math, same outputs.
     """
-    key = (spec, c, X.shape[0], scal.shape[0] if scal.ndim == 3 else 1)
+    n = scal.shape[-2] if base_map is not None else X.shape[0]
+    key = (spec, c, n, scal.shape[0] if scal.ndim == 3 else 1,
+           base_map is not None)
     fns = _STAGED_CACHE.get(key)
     if fns is None:
         g = _Cfg(key[2], c, key[3])
@@ -319,7 +345,7 @@ def msm2_device_staged(spec, c: int, X, Y, inf, scal):
         _STAGED_CACHE[key] = fns
     g, f_sort, f_gather, f_carries, f_buckets, f_rowsum, f_horner = fns
     order, sd = f_sort(scal)
-    gxy = f_gather(X, Y, inf, order)
+    gxy = f_gather(X, Y, inf, order, base_map)
     locs = k2.suffix_madd_scan(spec, gxy)
     excl_col = f_carries(*locs)
     U = f_buckets(sd, *locs, excl_col)
@@ -343,14 +369,15 @@ def _to_jac_jit(spec, out):
 STAGED_MIN_N = 1 << 17
 
 
-def msm2_best(spec, c: int, X, Y, inf, scal):
+def msm2_best(spec, c: int, X, Y, inf, scal, base_map=None):
     """Size-routed v2 MSM (projective out): staged above STAGED_MIN_N."""
-    if X.shape[0] >= STAGED_MIN_N:
-        return msm2_device_staged(spec, c, X, Y, inf, scal)
-    return msm2_device(spec, c, X, Y, inf, scal)
+    n = scal.shape[-2] if base_map is not None else X.shape[0]
+    if n >= STAGED_MIN_N:
+        return msm2_device_staged(spec, c, X, Y, inf, scal, base_map)
+    return msm2_device(spec, c, X, Y, inf, scal, base_map)
 
 
-def msm2_device_jac(spec, c: int, X, Y, inf, scal):
+def msm2_device_jac(spec, c: int, X, Y, inf, scal, base_map=None):
     """v2 MSM returning JACOBIAN coords (ops/curve.py conventions), for
     drop-in use at protocol call sites built around the v1 contract."""
-    return _to_jac_jit(spec, msm2_best(spec, c, X, Y, inf, scal))
+    return _to_jac_jit(spec, msm2_best(spec, c, X, Y, inf, scal, base_map))

@@ -268,19 +268,99 @@ def _v2_shard_ok(spec, n_loc: int) -> bool:
     )
 
 
-def msm_device_maybe_sharded(spec, c, X, Y, inf, scal):
+def msm_device_ragged(spec, X, Y, inf, scal):
+    """Device MSM over an arbitrary-length base axis WITHOUT padding to
+    the next power of two.
+
+    `_pad_pow2` can double the work of the protocol's ragged mega-MSMs
+    (the verifier's 2 + 2n + tails layout lands just past 2n and pads to
+    4n — reference verifier.rs:574,685). Here the axis is split into its
+    binary decomposition — largest power-of-two chunk first, remainder
+    recursing while it stays >= _RAGGED_MIN — and the per-chunk Jacobian
+    partials are added on device (group addition commutes). Each chunk
+    runs the full maybe-sharded fast path; total work tracks n instead
+    of pad(n). scal: (n, 16) or (B, n, 16) — the base axis is the one
+    split. Returns Jacobian device point(s), (B, 16) coords if batched."""
+    n = X.shape[0]
+
+    def ssl(o, size):  # slice scal's base axis
+        return scal[..., o:o + size, :]
+
+    chunks = []
+    off = 0
+    while n - off >= _RAGGED_MIN:
+        size = 1 << ((n - off).bit_length() - 1)
+        chunks.append((off, size))
+        off += size
+    acc = None
+    for o, size in chunks:
+        part = msm_device_maybe_sharded(
+            spec, dmsm._window_bits(size),
+            X[o:o + size], Y[o:o + size], inf[o:o + size], ssl(o, size),
+        )
+        acc = part if acc is None else dc.add(spec, acc, part)
+    rem = n - off
+    if rem:
+        m = dmsm._pad_pow2(rem)
+        if chunks:
+            # Clamp the tail to ONE canonical width: every ragged MSM's
+            # sub-chunk remainder (the verifier tails are ~2 lg n points)
+            # then shares a single compiled program (v2-eligible at
+            # _RAGGED_MIN) instead of compiling a one-off tiny shape per
+            # distinct tail size (~80 s of v1 XLA compile each,
+            # measured).
+            m = max(m, _RAGGED_MIN)
+        pad = m - rem
+        spad = [(0, 0)] * (scal.ndim - 2) + [(0, pad), (0, 0)]
+        part = msm_device_maybe_sharded(
+            spec, dmsm._window_bits(m),
+            jnp.pad(X[off:], ((0, pad), (0, 0))),
+            jnp.pad(Y[off:], ((0, pad), (0, 0))),
+            jnp.pad(inf[off:], (0, pad), constant_values=True),
+            jnp.pad(scal[..., off:, :], spad),
+        )
+        acc = part if acc is None else dc.add(spec, acc, part)
+    return acc
+
+
+# Below this, a chunk is cheaper absorbed into the padded remainder than
+# dispatched as its own program (each chunk costs a dispatch + one
+# device point-add).
+_RAGGED_MIN = 1024
+
+
+def msm_device_maybe_sharded(spec, c, X, Y, inf, scal, base_map=None):
     """Drop-in for ops/msm.py::msm_device that shards across the engine's
     active mesh when one is configured and the shape divides evenly.
     On TPU meshes the per-shard kernel is the v2 fused mega-kernel (the
     same family as the single-chip fast path); CPU meshes and ragged
-    shapes fall back to the v1 XLA-op Pippenger per shard."""
+    shapes fall back to the v1 XLA-op Pippenger per shard.
+
+    base_map (B, n): per-set base indirection (see ops/msm.py::msm_impl).
+    Callers that shard over a mesh use the full-width path instead (the
+    indirection would gather across shards), so base_map implies the
+    single-device route here."""
     from .. import engine
 
     import os
 
     on_tpu = jax.devices()[0].platform != "cpu"
     mesh = engine.active_mesh()
-    n = X.shape[0]
+    n = scal.shape[-2] if base_map is not None else X.shape[0]
+    if base_map is not None:
+        v2_ok = (
+            on_tpu
+            and isinstance(spec, dc.CurveSpec)
+            and (n & (n - 1)) == 0
+            and (n >= 1024 or (n >= 128 and scal.ndim == 3))
+        )
+        if v2_ok:
+            from ..ops import msm2
+
+            return msm2.msm2_device_jac(
+                spec, msm2.window_bits(n), X, Y, inf, scal, base_map
+            )
+        return dmsm.msm_device(spec, c, X, Y, inf, scal, None, base_map)
     if mesh is not None:
         D = mesh.devices.size
         min_shard = int(os.environ.get("ABTPU_SHARD_MIN", "256"))

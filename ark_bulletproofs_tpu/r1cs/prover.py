@@ -237,11 +237,22 @@ class Prover(RandomizableConstraintSystem):
         G1 = gens.G(n1)
         H1 = gens.H(n1)
         # A_I1 = <a_L, G> + <a_R, H> + i_blinding * B_blinding
-        A_I1 = engine.msm(curve, [Bb] + G1 + H1, [i_blinding1] + self.a_L + self.a_R)
         # A_O1 = <a_O, G> + o_blinding * B_blinding
-        A_O1 = engine.msm(curve, [Bb] + G1, [o_blinding1] + self.a_O)
         # S1 = <s_L1, G> + <s_R1, H> + s_blinding * B_blinding
-        S1 = engine.msm(curve, [Bb] + G1 + H1, [s_blinding1] + s_L1 + s_R1)
+        # One batched-scalar-set MSM (A_O1's H half rides as zeros):
+        # through the tunneled TPU each MSM's result fetch is a ~34 ms
+        # blocking RPC, so the three phase commitments share ONE program
+        # and ONE fetch (reference prover.rs:516-532 issues three).
+        zeros1 = [0] * n1
+        A_I1, A_O1, S1 = engine.msm_many(
+            curve,
+            [Bb] + G1 + H1,
+            [
+                [i_blinding1] + self.a_L + self.a_R,
+                [o_blinding1] + self.a_O + zeros1,
+                [s_blinding1] + s_L1 + s_R1,
+            ],
+        )
 
         protocol.append_point(t, curve, b"A_I1", A_I1)
         protocol.append_point(t, curve, b"A_O1", A_O1)
@@ -270,12 +281,16 @@ class Prover(RandomizableConstraintSystem):
         if has_phase2:
             G2 = gens.G(n)[n1:]
             H2 = gens.H(n)[n1:]
-            A_I2 = engine.msm(
-                curve, [Bb] + G2 + H2,
-                [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
+            zeros2 = [0] * n2
+            A_I2, A_O2, S2 = engine.msm_many(
+                curve,
+                [Bb] + G2 + H2,
+                [
+                    [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
+                    [o_blinding2] + self.a_O[n1:] + zeros2,
+                    [s_blinding2] + s_L2 + s_R2,
+                ],
             )
-            A_O2 = engine.msm(curve, [Bb] + G2, [o_blinding2] + self.a_O[n1:])
-            S2 = engine.msm(curve, [Bb] + G2 + H2, [s_blinding2] + s_L2 + s_R2)
         else:
             A_I2 = A_O2 = S2 = curve.zero()
 

@@ -370,30 +370,25 @@ class Verifier(RandomizableConstraintSystem):
         extras = self._extra_bases(proof)
         Xe, Ye, Ie = dc.affine_to_device(curve, extras)
 
-        total = 2 + 2 * padded_n + len(tail)
-        M = dmsm._pad_pow2(total)
-        padk = M - total
+        # Exact (unpadded) concatenation: the 2 + 2n + |tail| layout
+        # lands just past 2n, so _pad_pow2 would DOUBLE the MSM; the
+        # ragged driver splits it into a 2^k chunk + a small padded
+        # remainder instead (parallel/msm.py::msm_device_ragged).
         scal = jnp.concatenate(
             [
                 jnp.asarray(ints_to_limbs(head)),
                 g_dev,
                 h_dev,
                 jnp.asarray(ints_to_limbs(tail)),
-                jnp.zeros((padk, N_LIMBS), jnp.uint32),
             ]
         )
-        zpad = jnp.zeros((padk, N_LIMBS), jnp.uint32)
-        X = jnp.concatenate([Xp, Xt, jnp.asarray(Xe), zpad])
-        Y = jnp.concatenate([Yp, Yt, jnp.asarray(Ye), zpad])
-        inf = jnp.concatenate(
-            [Ip, It, jnp.asarray(np.asarray(Ie)),
-             jnp.ones(padk, bool)]
-        )
+        X = jnp.concatenate([Xp, Xt, jnp.asarray(Xe)])
+        Y = jnp.concatenate([Yp, Yt, jnp.asarray(Ye)])
+        inf = jnp.concatenate([Ip, It, jnp.asarray(np.asarray(Ie))])
         spec = dc.spec_for(curve)
-        c = dmsm._window_bits(M)
-        from ..parallel.msm import msm_device_maybe_sharded
+        from ..parallel.msm import msm_device_ragged
 
-        out = msm_device_maybe_sharded(spec, c, X, Y, inf, scal)
+        out = msm_device_ragged(spec, X, Y, inf, scal)
         host_pt = dc.point_to_host(curve, out)
         if not curve.is_zero(host_pt):
             raise R1CSVerificationError("mega-MSM check failed")
@@ -599,29 +594,24 @@ def _batch_verify_device(
     Xt, Yt, It = dcache.bp_table(bp_gens, curve, max_padded)
     Xe, Ye, Ie = dc.affine_to_device(curve, extra_bases)
 
-    total = 2 + 2 * max_padded + len(tails)
-    M = dmsm._pad_pow2(total)
-    padk = M - total
+    # Exact (unpadded) concatenation; the ragged driver splits off 2^k
+    # chunks instead of letting _pad_pow2 double the mega-MSM (see
+    # _verify_device).
     scal = jnp.concatenate(
         [
             jnp.asarray(ints_to_limbs(head_acc)),
             g_can,
             h_can,
             jnp.asarray(ints_to_limbs(tails)),
-            jnp.zeros((padk, N_LIMBS), jnp.uint32),
         ]
     )
-    zpad = jnp.zeros((padk, N_LIMBS), jnp.uint32)
-    X = jnp.concatenate([Xp, Xt, jnp.asarray(Xe), zpad])
-    Y = jnp.concatenate([Yp, Yt, jnp.asarray(Ye), zpad])
-    inf = jnp.concatenate(
-        [Ip, It, jnp.asarray(np.asarray(Ie)), jnp.ones(padk, bool)]
-    )
+    X = jnp.concatenate([Xp, Xt, jnp.asarray(Xe)])
+    Y = jnp.concatenate([Yp, Yt, jnp.asarray(Ye)])
+    inf = jnp.concatenate([Ip, It, jnp.asarray(np.asarray(Ie))])
     spec = dc.spec_for(curve)
-    c = dmsm._window_bits(M)
-    from ..parallel.msm import msm_device_maybe_sharded
+    from ..parallel.msm import msm_device_ragged
 
-    out = msm_device_maybe_sharded(spec, c, X, Y, inf, scal)
+    out = msm_device_ragged(spec, X, Y, inf, scal)
     host_pt = dc.point_to_host(curve, out)
     if not curve.is_zero(host_pt):
         raise R1CSVerificationError("batch verification failed")
