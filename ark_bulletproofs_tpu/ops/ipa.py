@@ -224,6 +224,33 @@ def _round_scalars_compact(fr: df.FieldSpec, a, b, gm, hm, qw, m, curm1):
     return rows, jnp.stack([bm_L, bm_R]), cq
 
 
+# --- table shrink (segmented base fold) ---------------------------------
+#
+# The weighted-fold design keeps rounds at FULL width N: after r rounds
+# the live witness is cur = N/2^r wide but the fold weights gm/hm still
+# span all N original indices, so every round's MSM is N terms. Once
+# T = N/cur segments share each live slot, the virtual folded generator
+#
+#   G'_j = sum_{t<T} gm[j + t*cur] * G[j + t*cur]      (j < cur)
+#
+# is worth MATERIALIZING: one batched base_map MSM (2*cur sets of T
+# terms each — exactly one round's worth of MSM work) rebuilds the
+# table at width cur, the weights reset to one, and every remaining
+# round runs cur-term MSMs instead of N-term ones. Group math is exact,
+# so L/R (and the proof bytes) are unchanged. Reference anchor: this
+# recovers the reference's physical fold (inner_product_proof.rs:
+# 143-155, 219-225) but only once per 7+ rounds and as one batched MSM
+# instead of n two-point MSMs. Threshold: ABTPU_IPA_SHRINK_T (segments
+# per slot; default 128 = the batched v2 kernel's minimum profitable
+# set width; 0 disables).
+
+
+def _shrink_threshold() -> int:
+    import os
+
+    return int(os.environ.get("ABTPU_IPA_SHRINK_T", "128"))
+
+
 def _cq_ints(curve, rows) -> list[int]:
     """Host (K, 16) canonical Fr limb rows -> K ints."""
     from .limbs import limbs_to_int
@@ -422,8 +449,57 @@ class IpaDeviceProver:
             [self.curve.proj_add(jacs[j], qj[j]) for j in range(2)]
         )
 
+    def _shrinkable(self, cur: int) -> bool:
+        t = _shrink_threshold()
+        return (
+            t > 0
+            and not self._sharded
+            and cur >= 16
+            and self.N // cur >= t
+        )
+
+    def _shrink(self, cur: int) -> None:
+        """Materialize the folded table at width `cur` (see module note
+        above): one batched base_map MSM over the T = N/cur segments per
+        live slot, one host affine roundtrip, weights reset to one."""
+        self._apply_pending_fold()
+        N, T = self.N, self.N // cur
+        # Segment-major weight gather: set j's scalars are
+        # gm[j], gm[j+cur], ..., gm[j+(T-1)*cur] — a reshape+transpose,
+        # no gather op needed.
+        gm_r = jnp.transpose(self.gm.reshape(T, cur, N_LIMBS), (1, 0, 2))
+        hm_r = jnp.transpose(self.hm.reshape(T, cur, N_LIMBS), (1, 0, 2))
+        scal = df.from_mont_fast(
+            self.fr, jnp.concatenate([gm_r, hm_r], axis=0)
+        )  # (2*cur, T, 16) canonical
+        bm = (
+            np.arange(cur, dtype=np.int32)[:, None]
+            + np.arange(T, dtype=np.int32)[None, :] * cur
+        )
+        bm = jnp.asarray(np.concatenate([bm, bm + N], axis=0))  # (2cur, T)
+        pts = _msm_pair(
+            self.spec, dmsm._window_bits(T), self.X, self.Y, self.inf,
+            scal, bm,
+        )
+        jacs = dc.jacobian_batch_ints(self.curve, jnp.stack(pts))
+        aff = self.curve.batch_to_affine(jacs)
+        X, Y, inf = dc.affine_to_device(self.curve, aff)
+        self.X = jax.device_put(X)
+        self.Y = jax.device_put(Y)
+        self.inf = jax.device_put(np.asarray(inf))
+        self.a = self.a[:cur]
+        self.b = self.b[:cur]
+        self.gm = df.mont_one(self.fr, (cur,))
+        self.hm = df.mont_one(self.fr, (cur,))
+        self.N = cur
+        self.M = dmsm._pad_pow2(2 * cur + 1)
+        self.c = dmsm._window_bits(self.M)
+        self.c_compact = dmsm._window_bits(cur)
+
     def round_commit(self, cur: int):
         """Compute (L, R) host affine points for the current round."""
+        if self._shrinkable(cur):
+            self._shrink(cur)
         if self._sharded:
             # Mesh path: full-width rows (the base_map indirection would
             # gather across the sharded table axis).

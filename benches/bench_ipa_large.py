@@ -80,15 +80,23 @@ def main() -> None:
     scalars += [inner_product(f, a, b)]
     P = engine.msm(C, list(G) + list(H) + [Q], scalars)
 
+    def run_verify():
+        proof.verify(n, Transcript(b"bench ipa large"), C, gf, hf, P, Q,
+                     list(G), list(H))
+
     t0 = time.perf_counter()
-    proof.verify(n, Transcript(b"bench ipa large"), C, gf, hf, P, Q,
-                 list(G), list(H))
-    dt_v = time.perf_counter() - t0
+    run_verify()  # compile (the ragged mega-MSM chunk shapes are fresh)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_verify()
+    dt_v = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": f"ipa_verify_n{n}_single",
         "value": round(dt_v, 3),
         "unit": "s/proof",
         "backend": "jax",
+        "cold_s": round(cold, 3),
     }))
 
 

@@ -148,3 +148,48 @@ def test_ipa_batch_matches_host(monkeypatch):
         assert dp.R_vec == hp.R_vec
         assert dp.a == hp.a
         assert dp.b == hp.b
+
+
+def test_ipa_device_shrink_matches_host(monkeypatch):
+    """Table shrink (segmented base fold, ops/ipa.py::IpaDeviceProver.
+    _shrink): once T = N/cur segments share each live slot the folded
+    table is materialized and rounds continue at width cur. Proof bytes
+    must be identical to the host prover's (the shrink is exact group
+    math). Exercised at a toy threshold so the light suite covers the
+    production branch point."""
+    from ark_bulletproofs_tpu.ops.ipa import IpaDeviceProver
+
+    n = 128
+    G, H, Q, a, b, Gf, Hf, P = make_instance(n, seed=13)
+
+    monkeypatch.setattr(engine.config, "backend", "host")
+    t = Transcript(b"ipashrinktest")
+    host_proof = InnerProductProof.create(
+        t, C, Q, Gf, Hf, list(G), list(H), list(a), list(b)
+    )
+
+    shrinks = []
+    orig = IpaDeviceProver._shrink
+
+    def spy(self, cur):
+        shrinks.append((self.N, cur))
+        return orig(self, cur)
+
+    monkeypatch.setattr(IpaDeviceProver, "_shrink", spy)
+    monkeypatch.setenv("ABTPU_IPA_SHRINK_T", "8")
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    t = Transcript(b"ipashrinktest")
+    dev_proof = InnerProductProof.create(
+        t, C, Q, Gf, Hf, list(G), list(H), list(a), list(b)
+    )
+    monkeypatch.setattr(engine.config, "backend", "host")
+
+    # shrink fired at cur=16 (T=8), again blocked below cur=16
+    assert shrinks == [(n, 16)]
+    assert dev_proof.L_vec == host_proof.L_vec
+    assert dev_proof.R_vec == host_proof.R_vec
+    assert dev_proof.a == host_proof.a
+    assert dev_proof.b == host_proof.b
+
+    t = Transcript(b"ipashrinktest")
+    dev_proof.verify(n, t, C, Gf, Hf, P, Q, G, H)
