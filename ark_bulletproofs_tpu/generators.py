@@ -104,6 +104,19 @@ class GeneratorsChain:
     # ~4k generators; at 128..1024 the farm ran 17.6 s..11.8 s vs the
     # host's 0.35..2.7 s.
     _DEVICE_MIN = 4096
+    # Cap attempts per device dispatch. The batched Tonelli-Shanks
+    # (`ops/gens.py::_candidate_roots`) materializes O(10) u32[m,16]
+    # temps under jit; an unchunked request of n=2^20 padded the attempt
+    # batch to m=2^22 and allocated 16+ temps of 256 MB each — an HBM
+    # OOM on a 16 GB chip. Steady-state device time per chunk is ~0 —
+    # the cost is the ONE-OFF XLA compile, which is superlinear in the
+    # chunk rows (measured on the v5e: 14 s at 2^14, 27 s at 2^16,
+    # 105 s at 2^17) — so a smaller chunk is strictly better: 2^16
+    # compiles once in ~27 s, keeps temps at 4 MB each, and a 2^20
+    # request then streams ~33 sub-second chunks through the cached
+    # program. The snapshot/rewind logic below already handles
+    # multi-chunk streams.
+    _DEVICE_CHUNK = 1 << 16
 
     def __init__(self, curve, label: bytes):
         self.curve = curve
@@ -152,6 +165,7 @@ class GeneratorsChain:
             todo = n - len(out)
             m = max(2 * todo + 64, 256)
             m = 1 << (m - 1).bit_length()  # pad to pow2: stable jit shapes
+            m = min(m, self._DEVICE_CHUNK)  # bound HBM temps per dispatch
             snap = rng.state_snapshot()
             words = rng.next_u32_array(9 * m).reshape(m, 9)
             xs_words = words[:, :8].copy()

@@ -246,8 +246,9 @@ def commit_many_native(B, B_blinding, values, blinds, p: int):
     ]
 
 
-def cpu_pippenger_native(pts, scalars, c: int = 0):
-    """Single-core C++ Pippenger over secq256k1 (the measured CPU baseline).
+def cpu_pippenger_native(pts, scalars, c: int = 0, curve=None):
+    """Single-core C++ Pippenger (the measured CPU baseline; any curve
+    `set_curve_native` accepts — secq256k1 default, zorro, secp256k1).
 
     `pts`: list of (x, y) affine ints or None for infinity; `scalars`:
     list of ints. Returns the Jacobian result as (X, Y, Z) ints, or None
@@ -255,4 +256,5 @@ def cpu_pippenger_native(pts, scalars, c: int = 0):
     """
     if lib() is None:
         return None
-    return cpu_pippenger_raw(*cpu_pippenger_marshal(pts, scalars), c=c)
+    return cpu_pippenger_raw(*cpu_pippenger_marshal(pts, scalars), c=c,
+                             curve=curve)

@@ -39,7 +39,11 @@ from .limbs import MASK, N_LIMBS, int_to_limbs, limbs_to_ints
 U32 = jnp.uint32
 
 
-def _bits_msb(e: int, width: int = 256) -> np.ndarray:
+def _bits_msb(e: int) -> np.ndarray:
+    """MSB-first bit array TRIMMED to e's bit length (the square-and-
+    multiply scan length is the array length — no wasted leading-zero
+    iterations)."""
+    width = max(e.bit_length(), 1)
     return np.array(
         [(e >> (width - 1 - i)) & 1 for i in range(width)], dtype=np.uint32
     )
@@ -47,12 +51,17 @@ def _bits_msb(e: int, width: int = 256) -> np.ndarray:
 
 @dataclass(frozen=True)
 class SqrtSpec:
-    """Per-field Tonelli-Shanks constants (hashable for jit)."""
+    """Per-field Tonelli-Shanks constants (hashable for jit).
+
+    Stores bits of (q-1)/2 only: from w = a^((q-1)/2), ONE pow yields
+    both Tonelli-Shanks seeds — r = w*a = a^((q+1)/2) and
+    t = w*r = a^q — where the naive form pays two full 256-bit pows
+    (measured 5.5 s/2^16-chunk on the v5e; the pow scan is the entire
+    device cost of generator sampling)."""
 
     fq: df.FieldSpec
     s: int
-    q_bits: tuple
-    qp1h_bits: tuple  # (q+1)/2
+    qm1h_bits: tuple  # (q-1)/2, MSB-first, trimmed
     c0_mont: tuple  # z^q * R mod p
     neg_one_mont: tuple  # (p-1) * R mod p
 
@@ -70,8 +79,7 @@ class SqrtSpec:
         return cls(
             fq=fq,
             s=s,
-            q_bits=tuple(int(b) for b in _bits_msb(q)),
-            qp1h_bits=tuple(int(b) for b in _bits_msb((q + 1) // 2)),
+            qm1h_bits=tuple(int(b) for b in _bits_msb((q - 1) // 2)),
             c0_mont=tuple(int(v) for v in int_to_limbs(pow(z, q, p) * R % p)),
             neg_one_mont=tuple(int(v) for v in int_to_limbs((p - 1) * R % p)),
         )
@@ -89,11 +97,16 @@ def sqrt_spec_for(field) -> SqrtSpec:
 
 
 def pow_bits(spec: df.FieldSpec, x, bits):
-    """x^e for Montgomery x (..., 16); bits (256,) MSB-first as data."""
+    """x^e for Montgomery x (..., 16); bits (k,) MSB-first as data.
+
+    Muls route through the Pallas CIOS kernel (df.mont_mul_fast,
+    ~1 ns/mul vs ~250 ns for the XLA elementwise lowering at
+    (..., 16)-minor layouts); CPU test runs fall back inside
+    mont_mul_fast."""
 
     def body(acc, bit):
-        acc = df.mont_sqr(spec, acc)
-        mul = df.mont_mul(spec, acc, x)
+        acc = df.mont_mul_fast(spec, acc, acc)
+        mul = df.mont_mul_fast(spec, acc, x)
         take = jnp.broadcast_to(bit > 0, acc.shape[:-1])
         return df.select(take, mul, acc), None
 
@@ -110,8 +123,13 @@ def batched_sqrt(sq: SqrtSpec, a):
     (0, True).
     """
     f = sq.fq
-    t = pow_bits(f, a, jnp.asarray(np.array(sq.q_bits, dtype=np.uint32)))
-    r = pow_bits(f, a, jnp.asarray(np.array(sq.qp1h_bits, dtype=np.uint32)))
+    # Tail loop stays on the XLA mont_mul: it is O(s^2) ~ 15 muls per
+    # attempt vs ~500 in the pow scan, and every extra mont_mul_fast
+    # call site is another Pallas kernel instantiation in the program
+    # (measured: all-Pallas compiled in 234 s vs scan-only ~2 sites).
+    w = pow_bits(f, a, jnp.asarray(np.array(sq.qm1h_bits, dtype=np.uint32)))
+    r = df.mont_mul(f, w, a)  # a^((q+1)/2)
+    t = df.mont_mul(f, w, r)  # a^q
     c = jnp.broadcast_to(
         jnp.asarray(np.array(sq.c0_mont, dtype=np.uint32)), a.shape
     )

@@ -20,6 +20,7 @@ two compiled programs regardless of lg(N) rounds.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -477,11 +478,26 @@ class IpaDeviceProver:
             + np.arange(T, dtype=np.int32)[None, :] * cur
         )
         bm = jnp.asarray(np.concatenate([bm, bm + N], axis=0))  # (2cur, T)
-        pts = _msm_pair(
-            self.spec, dmsm._window_bits(T), self.X, self.Y, self.inf,
-            scal, bm,
+        # Chunk the scalar-set axis: one fused dispatch over all 2*cur
+        # sets scales its intermediates as 16*B*W*T u32 — ~8.6 GB per
+        # array at N=2^20 (cur=2^13, T=128, W=64), an HBM OOM. Bounded
+        # slices keep each dispatch's temps ~0.5 GB while the slices
+        # stay wide enough to fill the VPU.
+        b_cap = int(os.environ.get("ABTPU_IPA_SHRINK_SETS", "1024"))
+        cw = dmsm._window_bits(T)
+        parts = [
+            jnp.stack(
+                _msm_pair(
+                    self.spec, cw, self.X, self.Y, self.inf,
+                    scal[s:s + b_cap], bm[s:s + b_cap],
+                )
+            )
+            for s in range(0, 2 * cur, b_cap)
+        ]
+        jacs = dc.jacobian_batch_ints(
+            self.curve,
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1),
         )
-        jacs = dc.jacobian_batch_ints(self.curve, jnp.stack(pts))
         aff = self.curve.batch_to_affine(jacs)
         X, Y, inf = dc.affine_to_device(self.curve, aff)
         self.X = jax.device_put(X)
@@ -495,6 +511,12 @@ class IpaDeviceProver:
         self.M = dmsm._pad_pow2(2 * cur + 1)
         self.c = dmsm._window_bits(self.M)
         self.c_compact = dmsm._window_bits(cur)
+        # Post-shrink width can drop below every v2 routing threshold
+        # (e.g. N=2^18, T=128 shrinks to 2048 then 16): re-gate the
+        # fused path so sub-128 rounds use the compact v1 dispatch
+        # instead of driving msm2 in an untested tiny-n regime.
+        if self._fused and cur < 128:
+            self._fused = False
 
     def round_commit(self, cur: int):
         """Compute (L, R) host affine points for the current round."""

@@ -16,6 +16,7 @@ IPA) are batched vector ops routed through the engine for device offload.
 from __future__ import annotations
 
 from .. import engine
+from ..utils.profiling import phase
 from ..errors import MissingAssignment, R1CSInvalidGeneratorsLength
 from ..generators import BulletproofGens, PedersenGens
 from ..ipp import InnerProductProof
@@ -216,10 +217,13 @@ class Prover(RandomizableConstraintSystem):
         t.append_u64(b"m", len(self.v))
 
         # Witness-bound RNG (reference prover.rs:483-494).
-        builder = t.build_rng()
-        for v_b in self.v_blinding:
-            builder = builder.rekey_with_witness_bytes(b"v_blinding", fr.to_bytes(v_b))
-        rng = builder.finalize(prng)
+        with phase("prove:rng"):
+            builder = t.build_rng()
+            for v_b in self.v_blinding:
+                builder = builder.rekey_with_witness_bytes(
+                    b"v_blinding", fr.to_bytes(v_b)
+                )
+            rng = builder.finalize(prng)
 
         n1 = len(self.a_L)
         if bp_gens.gens_capacity < n1:
@@ -244,22 +248,24 @@ class Prover(RandomizableConstraintSystem):
         # blocking RPC, so the three phase commitments share ONE program
         # and ONE fetch (reference prover.rs:516-532 issues three).
         zeros1 = [0] * n1
-        A_I1, A_O1, S1 = engine.msm_many(
-            curve,
-            [Bb] + G1 + H1,
-            [
-                [i_blinding1] + self.a_L + self.a_R,
-                [o_blinding1] + self.a_O + zeros1,
-                [s_blinding1] + s_L1 + s_R1,
-            ],
-        )
+        with phase("prove:phase1_msm"):
+            A_I1, A_O1, S1 = engine.msm_many(
+                curve,
+                [Bb] + G1 + H1,
+                [
+                    [i_blinding1] + self.a_L + self.a_R,
+                    [o_blinding1] + self.a_O + zeros1,
+                    [s_blinding1] + s_L1 + s_R1,
+                ],
+            )
 
-        protocol.append_point(t, curve, b"A_I1", A_I1)
-        protocol.append_point(t, curve, b"A_O1", A_O1)
-        protocol.append_point(t, curve, b"S1", S1)
+            protocol.append_point(t, curve, b"A_I1", A_I1)
+            protocol.append_point(t, curve, b"A_O1", A_O1)
+            protocol.append_point(t, curve, b"S1", S1)
 
         # Phase 2: run deferred constraints against fresh challenges.
-        self._create_randomized_constraints()
+        with phase("prove:phase2_constraints"):
+            self._create_randomized_constraints()
 
         n = len(self.a_L)
         n2 = n - n1
@@ -278,30 +284,32 @@ class Prover(RandomizableConstraintSystem):
         s_L2 = [fr.rand(rng) for _ in range(n2)]
         s_R2 = [fr.rand(rng) for _ in range(n2)]
 
-        if has_phase2:
-            G2 = gens.G(n)[n1:]
-            H2 = gens.H(n)[n1:]
-            zeros2 = [0] * n2
-            A_I2, A_O2, S2 = engine.msm_many(
-                curve,
-                [Bb] + G2 + H2,
-                [
-                    [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
-                    [o_blinding2] + self.a_O[n1:] + zeros2,
-                    [s_blinding2] + s_L2 + s_R2,
-                ],
-            )
-        else:
-            A_I2 = A_O2 = S2 = curve.zero()
+        with phase("prove:phase2_msm"):
+            if has_phase2:
+                G2 = gens.G(n)[n1:]
+                H2 = gens.H(n)[n1:]
+                zeros2 = [0] * n2
+                A_I2, A_O2, S2 = engine.msm_many(
+                    curve,
+                    [Bb] + G2 + H2,
+                    [
+                        [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
+                        [o_blinding2] + self.a_O[n1:] + zeros2,
+                        [s_blinding2] + s_L2 + s_R2,
+                    ],
+                )
+            else:
+                A_I2 = A_O2 = S2 = curve.zero()
 
-        protocol.append_point(t, curve, b"A_I2", A_I2)
-        protocol.append_point(t, curve, b"A_O2", A_O2)
-        protocol.append_point(t, curve, b"S2", S2)
+            protocol.append_point(t, curve, b"A_I2", A_I2)
+            protocol.append_point(t, curve, b"A_O2", A_O2)
+            protocol.append_point(t, curve, b"S2", S2)
 
         y = protocol.challenge_scalar(t, curve, b"y")
         z = protocol.challenge_scalar(t, curve, b"z")
 
-        wL, wR, wO, wV = self.flattened_constraints(z)
+        with phase("prove:flatten"):
+            wL, wR, wO, wV = self.flattened_constraints(z)
 
         # Blinded vector polynomials l(x), r(x) (reference prover.rs:671-701).
         y_inv = fr.inv(y)
@@ -318,11 +326,12 @@ class Prover(RandomizableConstraintSystem):
             # and feed the device IPA directly.
             from ..ops.prove import ProverVectorPhase
 
-            pv = ProverVectorPhase(
-                curve, padded_n, self.a_L, self.a_R, self.a_O,
-                s_L, s_R, wL, wR, wO, y, y_inv,
-            )
-            t_poly = Poly6(fr, *pv.t)
+            with phase("prove:vectors"):
+                pv = ProverVectorPhase(
+                    curve, padded_n, self.a_L, self.a_R, self.a_O,
+                    s_L, s_R, wL, wR, wO, y, y_inv,
+                )
+                t_poly = Poly6(fr, *pv.t)
             l_poly = r_poly = None
         else:
             l_poly = VecPoly3(fr, n)
@@ -344,11 +353,12 @@ class Prover(RandomizableConstraintSystem):
         t_5_blinding = fr.rand(rng)
         t_6_blinding = fr.rand(rng)
 
-        T_1, T_3, T_4, T_5, T_6 = self.pc_gens.commit_many(
-            [t_poly.t1, t_poly.t3, t_poly.t4, t_poly.t5, t_poly.t6],
-            [t_1_blinding, t_3_blinding, t_4_blinding, t_5_blinding,
-             t_6_blinding],
-        )
+        with phase("prove:T_commits"):
+            T_1, T_3, T_4, T_5, T_6 = self.pc_gens.commit_many(
+                [t_poly.t1, t_poly.t3, t_poly.t4, t_poly.t5, t_poly.t6],
+                [t_1_blinding, t_3_blinding, t_4_blinding, t_5_blinding,
+                 t_6_blinding],
+            )
 
         protocol.append_point(t, curve, b"T_1", T_1)
         protocol.append_point(t, curve, b"T_3", T_3)
@@ -373,7 +383,8 @@ class Prover(RandomizableConstraintSystem):
         if device_vectors:
             # Device evaluation; padding with -y^i is implicit (the
             # padded formulas degenerate to r[i] = -y^i, l[i] = 0).
-            l_vec, r_vec = pv.eval_lr(x)
+            with phase("prove:eval_lr"):
+                l_vec, r_vec = pv.eval_lr(x)
         else:
             l_vec = l_poly.eval(x) + [0] * pad
             r_vec = r_poly.eval(x) + [0] * pad
@@ -399,10 +410,11 @@ class Prover(RandomizableConstraintSystem):
         G_factors = [1] * n1 + [u] * (n2 + pad)
         H_factors = [yi * gf % p for yi, gf in zip(exp_y_inv, G_factors)]
 
-        ipp_proof = InnerProductProof.create(
-            t, curve, Q, G_factors, H_factors,
-            gens.G(padded_n), gens.H(padded_n), l_vec, r_vec,
-        )
+        with phase("prove:ipa"):
+            ipp_proof = InnerProductProof.create(
+                t, curve, Q, G_factors, H_factors,
+                gens.G(padded_n), gens.H(padded_n), l_vec, r_vec,
+            )
 
         # Secret hygiene (best effort; see util.VecPoly3.clear docstring).
         if l_poly is not None:

@@ -3,7 +3,7 @@
 Byte-exact equivalent of the `merlin` v3 crate used by the reference
 (reference: src/transcript.rs:6, src/r1cs/prover.rs:483-494). Every
 challenge in the protocol is squeezed through this object, so its byte
-behavior is pinned by golden-vector tests (tests/test_transcript.py).
+behavior is pinned by golden-vector tests (tests/test_byte_layer.py).
 """
 
 from __future__ import annotations

@@ -51,9 +51,25 @@ def _measured_cpu_pps(n: int) -> float | None:
 
 
 def _sol_madd_ns(spec) -> float | None:
-    """Calibrate the Pippenger scan's speed-of-light on THIS chip: the
-    measured ns/mixed-add of `suffix_madd_scan` (the kernel that does
-    the W*n-madd work floor of the MSM). Returns None off-TPU."""
+    """Calibrate the floor: BEST observed ns/mixed-add of the scan
+    kernel that does the MSM's mandatory work (W*n madds).
+
+    Model (docs/BENCH_MATRIX.md): floor_seconds = W * n * madd_ns_best.
+    Every window of every point passes through `suffix_madd_scan`
+    serially, so the MSM cannot run its madds faster than the kernel's
+    own best measured rate — sol_pct <= 100 by construction. Round 3's
+    instrument broke in BOTH directions: single blocking calls of a
+    ~30 ms probe read 33-37 ns/madd (dispatch+RPC-bound, floor too
+    high -> 115% SoL), and a one-shot 6.77 ns/mul Pallas-chain probe
+    read 418%. This probe (a) sizes the call so kernel math dominates,
+    (b) issues iters back-to-back and blocks ONCE (pipelined, matching
+    how the staged MSM itself is timed), (c) takes the MIN over
+    repeats. Best observed 7.2 ns/madd ~= 0.65 ns per mont-mul over 11
+    muls/madd — right at the VPU's analytic op-count ceiling
+    (~2200 u32 lane-ops/mul at ~3.9e12 ops/s), i.e. the calibration is
+    itself at silicon speed-of-light, not an artifact. Returns None
+    off-TPU.
+    """
     import jax
     import numpy as np
 
@@ -69,10 +85,9 @@ def _sol_madd_ns(spec) -> float | None:
 
     curve = curves.secq256k1
     rng = np.random.default_rng(7)
-    # Big enough that kernel math dwarfs the ~29 ms tunnel RPC per call:
-    # 4.2M madds/call ≈ 37 ms of pure VPU work at the ~8.8 ns ceiling
-    # (16k-madd probes measured 37 ns/"madd" — pure dispatch latency).
-    R, L = 64, 64 * 1024
+    # 16.8M madds/call ≈ 120 ms of kernel math at the ~7.2 ns ceiling:
+    # 4x the ~29 ms tunnel RPC even unpipelined.
+    R, L = 256, 64 * 1024
     crng = ChaChaRng(bytes([9]) + bytes(31))
     pts = [curve.rand(crng) for _ in range(256)]
     X, Y, _ = dc.affine_to_device(curve, pts)
@@ -82,12 +97,16 @@ def _sol_madd_ns(spec) -> float | None:
     gy = Y[idx].reshape(R, L, N_LIMBS)
     gxy = jax.device_put(np.swapaxes(gx | (gy << 16), 1, 2).copy())
     jax.block_until_ready(k2.suffix_madd_scan(spec, gxy))
-    t0 = _t.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        out = k2.suffix_madd_scan(spec, gxy)
-    jax.block_until_ready(out)
-    return (_t.perf_counter() - t0) / iters / (R * L) * 1e9
+    best = None
+    iters = 4
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            out = k2.suffix_madd_scan(spec, gxy)
+        jax.block_until_ready(out)
+        ns = (_t.perf_counter() - t0) / iters / (R * L) * 1e9
+        best = ns if best is None else min(best, ns)
+    return best
 
 
 def _probe_backend(timeout: float = 240.0):
@@ -281,10 +300,11 @@ def main() -> None:
     if cpu_pps:
         rec["measured_cpu_pps"] = cpu_pps
         rec["vs_measured_cpu"] = round(pps / cpu_pps, 2)
-    # Speed-of-light %: the MSM's work floor is W*n mixed adds through
-    # the scan kernel; quote achieved pts/s against 1/(W*madd_ns), the
-    # rate if the whole MSM ran at the scan kernel's measured madd
-    # throughput (sort/gather/buckets/Horner all free).
+    # Speed-of-light %: work floor = W*n mixed adds at the madd
+    # kernel's own BEST measured rate (model in docs/BENCH_MATRIX.md).
+    # Sort, gather, buckets, and Horner are charged as free, and the
+    # MSM's madds all run through that same kernel, so the floor is
+    # unbeatable and sol_pct <= 100 by construction.
     madd_ns = None if (tunnel_down or v2_failed) else _sol_madd_ns(spec)
     if madd_ns:
         W = -(-256 // c)

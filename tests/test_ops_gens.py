@@ -28,6 +28,25 @@ def test_chain_device_interleaved(monkeypatch):
     assert dev == host
 
 
+def test_chain_device_chunked_matches_host(monkeypatch):
+    """The farm must split large requests into bounded-HBM dispatches
+    (VERDICT r3 #1: unchunked 2^20 requests padded to 2^22 attempt rows
+    and OOMed). Forcing tiny _DEVICE_MIN/_DEVICE_CHUNK here drives the
+    multi-chunk path — several dispatches, snapshot/rewind across chunk
+    boundaries — and checks bit-exactness vs the sequential host chain."""
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    monkeypatch.setattr(GeneratorsChain, "_DEVICE_MIN", 64)
+    monkeypatch.setattr(GeneratorsChain, "_DEVICE_CHUNK", 256)
+    ch = GeneratorsChain(C, b"chunked")
+    ch.fast_forward(70)  # below one chunk's expected yield
+    dev = ch.take(300)  # ~600 attempts -> multiple 256-row chunks
+    monkeypatch.setattr(engine.config, "backend", "host")
+    ch2 = GeneratorsChain(C, b"chunked")
+    ch2.fast_forward(70)
+    host = ch2.take(300)
+    assert dev == host
+
+
 def test_bpgens_device_equals_host(monkeypatch):
     monkeypatch.setattr(engine.config, "backend", "jax")
     dev = BulletproofGens(C, 130, 1)

@@ -150,16 +150,20 @@ def test_ipa_batch_matches_host(monkeypatch):
         assert dp.b == hp.b
 
 
+@pytest.mark.heavy
 def test_ipa_device_shrink_matches_host(monkeypatch):
     """Table shrink (segmented base fold, ops/ipa.py::IpaDeviceProver.
     _shrink): once T = N/cur segments share each live slot the folded
     table is materialized and rounds continue at width cur. Proof bytes
     must be identical to the host prover's (the shrink is exact group
     math). Exercised at a toy threshold so the light suite covers the
-    production branch point."""
+    production branch point; ABTPU_IPA_SHRINK_SETS=8 forces the
+    bounded-HBM scalar-set chunking (4 slices of the 32-set fold MSM)
+    so the slice path is covered too. n=64 rather than 128 keeps the
+    XLA:CPU compile cost out of the light-suite budget (ADVICE r3)."""
     from ark_bulletproofs_tpu.ops.ipa import IpaDeviceProver
 
-    n = 128
+    n = 64
     G, H, Q, a, b, Gf, Hf, P = make_instance(n, seed=13)
 
     monkeypatch.setattr(engine.config, "backend", "host")
@@ -176,7 +180,8 @@ def test_ipa_device_shrink_matches_host(monkeypatch):
         return orig(self, cur)
 
     monkeypatch.setattr(IpaDeviceProver, "_shrink", spy)
-    monkeypatch.setenv("ABTPU_IPA_SHRINK_T", "8")
+    monkeypatch.setenv("ABTPU_IPA_SHRINK_T", "4")
+    monkeypatch.setenv("ABTPU_IPA_SHRINK_SETS", "8")
     monkeypatch.setattr(engine.config, "backend", "jax")
     t = Transcript(b"ipashrinktest")
     dev_proof = InnerProductProof.create(

@@ -49,8 +49,10 @@ def kshuffle_roundtrip(curve, k, seed):
     return proof, in_coms, out_coms, pc_gens, bp_gens
 
 
-@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 6, 7, 24])
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 6, 7, 24, 42])
 def test_shuffle_secq256k1(k):
+    """k sweep mirrors reference tests/r1cs_secq256k1.rs:172-215
+    (k in {1..7, 24, 42})."""
     kshuffle_roundtrip(secq256k1, k, 1000 + k)
 
 
