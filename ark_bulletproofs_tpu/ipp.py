@@ -177,8 +177,30 @@ class InnerProductProof:
         """Device-resident creation path (ops/ipa.py): O(n) state stays on
         the TPU between rounds; the host only runs the Fiat-Shamir chain.
         Transcript operations are identical to the host path, so proofs
-        and challenges match bit-for-bit."""
-        from .ops.ipa import IpaDeviceProver
+        and challenges match bit-for-bit.
+
+        When eligible, the WHOLE round loop runs as one device program
+        with on-chip Fiat-Shamir (ops/ipa.py::ipa_prove_fs — one
+        dispatch + one fetch instead of 2 RPCs per round); the
+        per-round path below is the fallback and the bit-exactness
+        oracle."""
+        import os
+
+        from .ops.ipa import IpaDeviceProver, ipa_prove_fs
+
+        import jax
+
+        n = len(G_vec)
+        fs_default = "1" if jax.devices()[0].platform != "cpu" else "0"
+        fs_on = os.environ.get("ABTPU_IPA_FS", fs_default) == "1"
+        fs_max = int(os.environ.get("ABTPU_IPA_FS_MAX_N", "8192"))
+        if fs_on and n <= fs_max and engine.active_mesh() is None:
+            res = ipa_prove_fs(
+                transcript, curve, Q, G_factors, H_factors,
+                G_vec, H_vec, a_vec, b_vec,
+            )
+            if res is not None:
+                return cls(res[0], res[1], res[2], res[3])
 
         f = curve.fr
         st = IpaDeviceProver(
@@ -337,9 +359,44 @@ class InnerProductProof:
         H_vec: list,
     ) -> None:
         """Standalone verification via one (2n + 2 lg n + 1)-term MSM
-        (reference src/inner_product_proof.rs:321-382). Raises on failure."""
+        (reference src/inner_product_proof.rs:321-382). Raises on failure.
+
+        Device route: the O(n) s-vector / g/h scalar math runs on-chip
+        from the lg n challenges (ops/verify.py::ipa_gh_msm, with the
+        generator table and factor vectors cached on device across
+        calls); only the tiny [Q | L | R] tail runs through the host's
+        native Pippenger. The host assembly below is the fallback and
+        oracle."""
         f = curve.fr
         p = f.p
+
+        device = (
+            n >= 1024
+            and hasattr(curve, "b")
+            and engine.active_mesh() is None
+            and engine.use_device(2 * n, curve)
+        )
+        if device:
+            u_sq, u_inv_sq, allinv = self.verification_challenges(
+                n, transcript, curve
+            )
+            from .ops.verify import ipa_gh_msm
+
+            big = ipa_gh_msm(
+                curve, n, self.a, self.b, u_sq, allinv,
+                G_factors, H_factors, G_vec, H_vec,
+            )
+            neg_u_sq = [p - x if x else 0 for x in u_sq]
+            neg_u_inv_sq = [p - x if x else 0 for x in u_inv_sq]
+            tail = curve.msm(
+                [Q] + list(self.L_vec) + list(self.R_vec),
+                [self.a * self.b % p] + neg_u_sq + neg_u_inv_sq,
+            )
+            expect_P = curve.add(big, tail) if big is not None else tail
+            if not curve.eq(expect_P, P):
+                raise VerificationError("inner product proof failed")
+            return
+
         u_sq, u_inv_sq, s = self.verification_scalars(n, transcript, curve)
 
         g_scalars = [self.a * si % p * gi % p for si, gi in zip(s, G_factors)]

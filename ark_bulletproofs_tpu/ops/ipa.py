@@ -366,6 +366,235 @@ def _round_step_batch(spec, fr: df.FieldSpec, c: int, do_fold: bool,
     return A, Bv, GM, HM, fetch
 
 
+# --- fully device-resident prover (on-chip Fiat-Shamir) -----------------
+#
+# The per-round design above still syncs with the host once per round:
+# the Merlin transcript lives on the host, so every challenge is a
+# blocking fetch (2 tunnel RPCs x lg n rounds dominated the measured
+# k=1024 shuffle prove). With the byte layer on device (ops/fs.py) the
+# ENTIRE round loop — compact-round MSM, Q term, to-affine, arkworks
+# serialization, transcript absorb, challenge squeeze, ChaCha Fp::rand,
+# field inversion, fold — is ONE fori_loop program: a single dispatch
+# and a single fetch for the whole IPA. The host then replays the
+# transcript appends (cheap native Keccak) and asserts byte-identical
+# state, which both keeps the live host transcript in sync for the
+# rest of the protocol and catches the ~2^-128 Fp::rand rejection case
+# (the device cannot redraw in-program; the caller falls back to the
+# per-round path). Reference: src/inner_product_proof.rs:164-231.
+
+
+def _q_doubles(spec, qx, qy):
+    """(256, 16) x3 Jacobian coords of 2^i * Q — computed ONCE per proof
+    (a 256-step scan) so every round's k*Q becomes a masked 8-step tree
+    reduction instead of its own 256-step double-and-add (TPU loop
+    iterations cost ~100 us each; the scan was 35 ms/round)."""
+    qj = (qx[None], qy[None], df.mont_one(spec.fq, (1,)))
+
+    def step(P, _):
+        return dc.double(spec, P), tuple(c[0] for c in P)
+
+    _, pows = jax.lax.scan(step, qj, None, length=256)
+    return pows  # tuple of 3 arrays (256, 16)
+
+
+def _mul_point_dev(spec, p2, k):
+    """k * Q for canonical scalars k (B, 16) from the 2^i*Q table `p2`:
+    per-bit masked select + unrolled binary tree reduction (8 vector
+    adds, ZERO loop iterations)."""
+    B = k.shape[0]
+    bits_idx = np.arange(256)
+    limb_idx = bits_idx // 16
+    shift = jnp.asarray((bits_idx % 16).astype(np.uint32))
+    bits = (k[:, limb_idx] >> shift) & 1  # (B, 256)
+    zero = dc.point_zero(spec, (B, 256))
+    pt = tuple(jnp.broadcast_to(c, (B, 256, N_LIMBS)) for c in p2)
+    acc = dc.select(bits > 0, pt, zero)
+    # masked halving with ONE add instantiation (fixed width keeps the
+    # program small; 8 fori steps of a vectorized (B, 256)-lane add)
+    idx = jnp.arange(256, dtype=jnp.int32)
+
+    def step(s, x):
+        half = jnp.int32(256) >> (s + 1)
+        part = tuple(
+            jnp.take(c, jnp.minimum(idx + half, 255), axis=1) for c in x
+        )
+        keep = jnp.broadcast_to(idx < half, (B, 256))
+        return dc.select(keep, dc.add(spec, x, part), x)
+
+    acc = jax.lax.fori_loop(0, 8, step, acc)
+    return tuple(c[:, 0] for c in acc)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _rounds_all_fs(spec, fr: df.FieldSpec, c: int, lg_n: int,
+                   fr_bits: int, use_v2: bool,
+                   X, Y, inf, a, b, gm, hm, one_q, qx, qy, st, pos, pb):
+    """All lg_n IPA rounds + on-chip Fiat-Shamir in one program.
+
+    Returns (LRx, LRy (lg_n, 2, 16) canonical affine coords,
+    LRinf (lg_n, 2), us (lg_n, 16) Montgomery challenges, a0, b0
+    (16,) Montgomery, st, pos, pb final STROBE state, ok)."""
+    from . import fs
+    from . import msm2
+    from . import proj as dpj
+
+    fq = spec.fq
+    N = a.shape[0]
+    # static byte sizes derive from the fq modulus bit length
+    fq_bits = fq.p.bit_length()
+
+    LRx = jnp.zeros((lg_n, 2, N_LIMBS), U32)
+    LRy = jnp.zeros((lg_n, 2, N_LIMBS), U32)
+    LRinf = jnp.zeros((lg_n, 2), jnp.bool_)
+    us = jnp.zeros((lg_n, N_LIMBS), U32)
+    ok0 = jnp.bool_(True)
+    p2 = _q_doubles(spec, qx, qy)  # once per proof, shared by rounds
+
+    def body(r, carry):
+        a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
+        cur = (jnp.uint32(N) >> r.astype(U32))
+        m = cur >> 1
+        curm1 = cur - 1
+        rows, bm, cq = _round_scalars_compact.__wrapped__(
+            fr, a, b, gm, hm, one_q, m, curm1
+        )
+        if use_v2:
+            pts = dpj.to_jacobian(
+                spec, msm2.msm2_impl(spec, c, X, Y, inf, rows, bm)
+            )
+        else:
+            pts = dmsm.msm_impl(spec, c, X, Y, inf, rows, base_map=bm)
+        qj = _mul_point_dev(spec, p2, cq)
+        S = dc.add(spec, pts, qj)
+        s_inf = dc.is_zero(spec, S)
+        zi = fs.mont_pow_pm2.__wrapped__(fq, S[2])
+        zi2 = df.mont_sqr(fq, zi)
+        xa = df.mont_mul(fq, S[0], zi2)
+        ya = df.mont_mul(fq, S[1], df.mont_mul(fq, zi2, zi))
+        xc = df.from_mont(fq, xa)
+        yc = df.from_mont(fq, ya)
+        Lb = fs.point_uncompressed_bytes(fq, fq_bits, xc[0], yc[0], s_inf[0])
+        Rb = fs.point_uncompressed_bytes(fq, fq_bits, xc[1], yc[1], s_inf[1])
+        st, pos, pb = fs.append_message(st, pos, pb, b"L", Lb)
+        st, pos, pb = fs.append_message(st, pos, pb, b"R", Rb)
+        st, pos, pb, seed = fs.challenge_bytes(st, pos, pb, b"u", 32)
+        u, ok_u = fs.fr_rand_from_seed(fr, fr_bits, seed)
+        ui = fs.mont_pow_pm2.__wrapped__(fr, u)
+        a, b, gm, hm = _fold.__wrapped__(fr, a, b, gm, hm, u, ui, m, curm1)
+        LRx = LRx.at[r].set(xc)
+        LRy = LRy.at[r].set(yc)
+        LRinf = LRinf.at[r].set(s_inf)
+        us = us.at[r].set(u)
+        return (a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok & ok_u)
+
+    carry = (a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok0)
+    carry = jax.lax.fori_loop(0, lg_n, body, carry)
+    a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
+    return LRx, LRy, LRinf, us, a[0], b[0], st, pos, pb, ok
+
+
+def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
+                 G_vec, H_vec, a_vec, b_vec):
+    """Whole-IPA device proof with on-chip Fiat-Shamir.
+
+    Returns (L_vec, R_vec, a0, b0) — affine int points and final
+    scalars — or None when the instance is unsupported (TE curve,
+    non-power-of-two, or a Fp::rand rejection detected by the host
+    transcript replay; the caller falls back to the per-round path).
+    The live `transcript` is advanced exactly as the per-round path
+    would (byte-checked against the device's final STROBE state)."""
+    from .limbs import int_to_limbs, limbs_to_ints
+    from . import msm2
+
+    spec = dc.spec_for(curve)
+    if dc.is_te(spec):
+        return None
+    fr = df.spec_for(curve.fr)
+    N = len(G_vec)
+    lg_n = N.bit_length() - 1
+    p, R = curve.fr.p, curve.fr.R
+    fqp = curve.fq.p
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_v2 = on_tpu and N >= 128
+    c = msm2.window_bits(N) if use_v2 else dmsm._window_bits(N)
+
+    bases = list(G_vec) + list(H_vec)
+    X, Y, inf = dc.affine_to_device(curve, bases)
+    X = jax.device_put(X)
+    Y = jax.device_put(Y)
+    inf = jax.device_put(np.asarray(inf))
+
+    def mont(xs):
+        if not isinstance(xs, (list, tuple)):
+            return xs  # already a device Montgomery limb array
+        return jax.device_put(ints_to_limbs([x % p * R % p for x in xs]))
+
+    a = mont(a_vec)
+    b = mont(b_vec)
+    gm = mont(G_factors)
+    hm = mont(H_factors)
+    one_q = df.mont_one(fr, ())
+    qx = jnp.asarray(int_to_limbs(Q[0] * curve.fq.R % fqp))
+    qy = jnp.asarray(int_to_limbs(Q[1] * curve.fq.R % fqp))
+
+    strobe = transcript._strobe
+    st = jnp.asarray(
+        np.frombuffer(bytes(strobe.state), np.uint8).astype(np.uint32)
+    )
+    pos = jnp.uint32(strobe.pos)
+    pb = jnp.uint32(strobe.pos_begin)
+
+    out = _rounds_all_fs(
+        spec, fr, c, lg_n, curve.fr.num_bits, use_v2,
+        X, Y, inf, a, b, gm, hm, one_q, qx, qy, st, pos, pb,
+    )
+    (LRx, LRy, LRinf, us, a0_l, b0_l, st_f, pos_f, pb_f, ok) = (
+        np.asarray(o) for o in jax.block_until_ready(out)
+    )
+
+    if not bool(ok):
+        return None  # astronomically rare Fp::rand rejection
+
+    L_vec, R_vec = [], []
+    for r in range(lg_n):
+        for side, vec in ((0, L_vec), (1, R_vec)):
+            if LRinf[r, side]:
+                vec.append(None)
+            else:
+                vec.append((
+                    limbs_to_ints(LRx[r, side])[0],
+                    limbs_to_ints(LRy[r, side])[0],
+                ))
+
+    # Host transcript replay: advances the live transcript AND verifies
+    # the device byte layer agreed with the host model at every step.
+    from ..transcript import protocol as _protocol
+
+    snapshot = strobe.clone()
+    for r in range(lg_n):
+        _protocol.append_point(transcript, curve, b"L", L_vec[r])
+        _protocol.append_point(transcript, curve, b"R", R_vec[r])
+        u_host = _protocol.challenge_scalar(transcript, curve, b"u")
+        u_dev = limbs_to_ints(us[r])[0] * curve.fr.R_inv % p
+        if u_host != u_dev:
+            # restore the pre-replay transcript; caller re-proves on the
+            # per-round path
+            transcript._strobe = snapshot
+            return None
+    if (bytes(strobe.state) != bytes(st_f.astype(np.uint8))
+            or strobe.pos != int(pos_f)
+            or strobe.pos_begin != int(pb_f)):
+        raise RuntimeError(
+            "device Fiat-Shamir state diverged from host replay"
+        )
+
+    Rinv = curve.fr.R_inv
+    a0 = limbs_to_ints(a0_l)[0] * Rinv % p
+    b0 = limbs_to_ints(b0_l)[0] * Rinv % p
+    return L_vec, R_vec, a0, b0
+
+
 class IpaDeviceProver:
     """Holds the device-resident state for one IPA proof creation."""
 

@@ -277,3 +277,100 @@ def _scale_accumulate(fr, acc_g, acc_h, g, h, alpha):
         jnp.broadcast_to(alpha, g.shape)[None],
     )
     return df.add(fr, acc_g, ab[0]), df.add(fr, acc_h, ab[1])
+
+
+# --- standalone IPA verification (device big-MSM path) ------------------
+#
+# `InnerProductProof.verify` (ipp.py; reference
+# src/inner_product_proof.rs:321-382) previously assembled its whole
+# (2n + 2 lg n + 1)-term MSM on the host: O(n) big-int scalar math plus
+# a fresh marshal + upload of the 2n generator points and 2n scalars per
+# call — ~3 s of a 3.3 s n=2^16 verify through the tunnel (the MSM
+# itself measures 63 ms). Here the generator table AND the factor
+# vectors are cached on device across calls, the s-vector and g/h
+# scalars are computed on-chip from the lg n challenges, and only the
+# tiny [Q | L | R] tail (2 lg n + 1 points) runs on the host's native
+# Pippenger.
+
+_IPA_VERIFY_CACHE: dict = {}
+
+
+def _cached_mont_vector(fr, key, xs, p, R):
+    hit = _IPA_VERIFY_CACHE.get(key)
+    if hit is None:
+        hit = jax.device_put(ints_to_limbs([x % p * R % p for x in xs]))
+        _IPA_VERIFY_CACHE[key] = hit
+    return hit
+
+
+def ipa_gh_msm(curve, n: int, a: int, b: int, u_sq, allinv,
+               G_factors, H_factors, G_vec, H_vec):
+    """<a * s * Gf, G> + <b * rev(s) * Hf, H> on device -> host affine.
+
+    Caches the [G | H] device table and the Montgomery factor vectors
+    keyed on (curve, n, endpoint values) — generator tables and factor
+    vectors are deterministic artifacts, so endpoint equality pins them
+    in practice while letting fresh lists hit the cache.
+    """
+    from . import curve as dc
+    from ..parallel.msm import msm_device_maybe_sharded
+    from . import msm as dmsm
+
+    fr = df.spec_for(curve.fr)
+    p, R = curve.fr.p, curve.fr.R
+    lg_n = n.bit_length() - 1
+
+    tkey = ("table", curve.name, n, G_vec[0], G_vec[-1], H_vec[0], H_vec[-1])
+    table = _IPA_VERIFY_CACHE.get(tkey)
+    if table is None:
+        X, Y, inf = dc.affine_to_device(curve, list(G_vec) + list(H_vec))
+        table = (
+            jax.device_put(X), jax.device_put(Y),
+            jax.device_put(np.asarray(inf)),
+        )
+        _IPA_VERIFY_CACHE[tkey] = table
+    X, Y, inf = table
+
+    gf = _cached_mont_vector(
+        fr, ("gf", curve.name, n, G_factors[0], G_factors[-1]),
+        G_factors, p, R,
+    )
+    hf = _cached_mont_vector(
+        fr, ("hf", curve.name, n, H_factors[0], H_factors[-1]),
+        H_factors, p, R,
+    )
+
+    u_sq_m = ints_to_limbs([u * R % p for u in u_sq])
+    out = _ipa_gh_msm_dev(
+        fr, dc.spec_for(curve), dmsm._window_bits(2 * n), n, lg_n,
+        X, Y, inf, gf, hf,
+        jnp.asarray(u_sq_m),
+        jnp.asarray(ints_to_limbs([allinv * R % p])[0]),
+        jnp.asarray(ints_to_limbs([a % p * R % p])[0]),
+        jnp.asarray(ints_to_limbs([b % p * R % p])[0]),
+    )
+    return dc.point_to_host(curve, out)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _ipa_gh_msm_dev(fr, spec, c: int, n: int, lg_n: int,
+                    X, Y, inf, gf, hf, u_sq_m, allinv_m, a_m, b_m):
+    from . import msm2
+    from . import msm as dmsm
+    from . import proj as dpj
+
+    s = _s_vector(fr, u_sq_m, allinv_m, n, lg_n)
+    g = df.mont_mul(fr, df.mont_mul(fr, s, gf),
+                    jnp.broadcast_to(a_m, s.shape))
+    h = df.mont_mul(fr, df.mont_mul(fr, jnp.flip(s, axis=0), hf),
+                    jnp.broadcast_to(b_m, s.shape))
+    scal = df.from_mont_fast(fr, jnp.concatenate([g, h], axis=0))
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and 2 * n >= 1024:
+        # one fused v2 program (measured 58.8 ms at 2^17 — beats the
+        # host-chained staged pipeline for this in-jit single set)
+        return dpj.to_jacobian(
+            spec, msm2.msm2_impl(spec, msm2.window_bits(2 * n),
+                                 X, Y, inf, scal)
+        )
+    return dmsm.msm_impl(spec, c, X, Y, inf, scal)
