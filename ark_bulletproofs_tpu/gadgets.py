@@ -62,18 +62,22 @@ class ShuffleProof:
         transcript.append_message(b"dom-sep", b"ShuffleProof")
         transcript.append_u64(b"k", k)
 
+        from .utils.profiling import phase
+
         prover = Prover(pc_gens, transcript)
         # blinding draws happen in the same order as the sequential
         # commit loop, so transcripts (and proofs) are unchanged
-        in_blinds = [curve.fr.rand(prng) for _ in input_vals]
-        in_coms, in_vars = zip(
-            *prover.commit_many(list(input_vals), in_blinds)
-        )
-        out_blinds = [curve.fr.rand(prng) for _ in output_vals]
-        out_coms, out_vars = zip(
-            *prover.commit_many(list(output_vals), out_blinds)
-        )
-        shuffle_gadget(prover, curve, list(in_vars), list(out_vars))
+        with phase("shuffle:commits"):
+            in_blinds = [curve.fr.rand(prng) for _ in input_vals]
+            in_coms, in_vars = zip(
+                *prover.commit_many(list(input_vals), in_blinds)
+            )
+            out_blinds = [curve.fr.rand(prng) for _ in output_vals]
+            out_coms, out_vars = zip(
+                *prover.commit_many(list(output_vals), out_blinds)
+            )
+        with phase("shuffle:gadget"):
+            shuffle_gadget(prover, curve, list(in_vars), list(out_vars))
         proof = prover.prove(prng, bp_gens)
         return cls(proof), list(in_coms), list(out_coms)
 

@@ -54,3 +54,28 @@ def pc_pair(pc_gens, curve):
     )
     per[key] = entry
     return entry
+
+
+def full_table(bp_gens, pc_gens, curve):
+    """(X, Y, inf) device arrays for [G(cap) | H(cap) | B | B_blinding]
+    at cap = bp_gens.gens_capacity, plus cap — ONE cached upload serving
+    every prover phase MSM via base_map row indexing (the phase bases
+    are always slices of this table; marshaling + uploading them fresh
+    per proof cost ~200 ms/phase through the tunnel)."""
+    per = _CACHE.setdefault(bp_gens, {})
+    cap = bp_gens.gens_capacity
+    key = (curve.name, "full", cap, id(pc_gens))
+    hit = per.get(key)
+    if hit is not None:
+        return hit
+    gens = bp_gens.share(0)
+    pts = gens.G(cap) + gens.H(cap) + [pc_gens.B, pc_gens.B_blinding]
+    X, Y, inf = dc.affine_to_device(curve, pts)
+    entry = (
+        jax.device_put(X),
+        jax.device_put(Y),
+        jax.device_put(np.asarray(inf)),
+        cap,
+    )
+    per[key] = entry
+    return entry

@@ -337,3 +337,35 @@ def msm_many(curve, bases: list, scalar_sets: list[list[int]]):
     return [
         dc.point_to_host(curve, tuple(a[b] for a in out)) for b in range(B)
     ]
+
+
+def msm_many_tabled(curve, table, scalar_sets, index_map):
+    """B MSMs over rows of a CACHED device table (no base marshal).
+
+    table: (X, Y, inf) device arrays; scalar_sets: B lists of k ints;
+    index_map: (k,) int32 rows of the table the scalars multiply. The
+    scalar axis pads to a power of two (padding scalars are zero and
+    point at row 0), one batched base_map MSM runs, and ONE fetch
+    returns all B points (the per-set `point_to_host` of `msm_many`
+    costs a blocking ~30 ms RPC each through the tunnel)."""
+    B = len(scalar_sets)
+    k = len(index_map)
+    spec = dc.spec_for(curve)
+    fr_p = curve.fr.p
+    m = _pad_pow2(k)
+    flat: list[int] = []
+    for ks in scalar_sets:
+        assert len(ks) == k
+        flat.extend(s % fr_p for s in ks)
+    scal = np.zeros((B, m, 16), np.uint32)
+    scal[:, :k] = ints_to_limbs(flat).reshape(B, k, 16)
+    bm = np.zeros((B, m), np.int32)
+    bm[:, :k] = np.asarray(index_map, np.int32)[None]
+    X, Y, inf = table[:3]
+    from ..parallel.msm import msm_device_maybe_sharded
+
+    out = msm_device_maybe_sharded(
+        spec, _window_bits(m), X, Y, inf,
+        jax.device_put(scal), jax.device_put(bm),
+    )
+    return dc.jacobian_batch_to_host(curve, jnp.stack(out))  # one fetch

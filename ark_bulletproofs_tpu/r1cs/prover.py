@@ -248,16 +248,46 @@ class Prover(RandomizableConstraintSystem):
         # blocking RPC, so the three phase commitments share ONE program
         # and ONE fetch (reference prover.rs:516-532 issues three).
         zeros1 = [0] * n1
+        tabled = (
+            engine.use_device(2 * n1 + 1, curve)
+            and engine.active_mesh() is None
+        )
         with phase("prove:phase1_msm"):
-            A_I1, A_O1, S1 = engine.msm_many(
-                curve,
-                [Bb] + G1 + H1,
-                [
-                    [i_blinding1] + self.a_L + self.a_R,
-                    [o_blinding1] + self.a_O + zeros1,
-                    [s_blinding1] + s_L1 + s_R1,
-                ],
-            )
+            rows1 = [
+                [i_blinding1] + self.a_L + self.a_R,
+                [o_blinding1] + self.a_O + zeros1,
+                [s_blinding1] + s_L1 + s_R1,
+            ]
+            if tabled:
+                # Cached [G | H | B | Bb] device table + base_map rows:
+                # no per-proof base marshal/upload, one dispatch, one
+                # fetch for all three commitments. The blinding terms
+                # ride the native fixed-base path on host (keeps the
+                # MSM width at exactly 2*n1 — the [Bb] prefix would pad
+                # the power-of-two axis to double).
+                import numpy as _np
+
+                from ..ops import cache as dcache
+                from ..ops.msm import msm_many_tabled
+
+                tab = dcache.full_table(bp_gens, self.pc_gens, curve)
+                cap = tab[3]
+                idx = _np.concatenate([
+                    _np.arange(n1), cap + _np.arange(n1),
+                ]).astype(_np.int32)
+                parts = msm_many_tabled(
+                    curve, tab, [r[1:] for r in rows1], idx
+                )
+                blinds = self.pc_gens.commit_many(
+                    [0, 0, 0], [i_blinding1, o_blinding1, s_blinding1]
+                )
+                A_I1, A_O1, S1 = (
+                    curve.add(P, Bl) for P, Bl in zip(parts, blinds)
+                )
+            else:
+                A_I1, A_O1, S1 = engine.msm_many(
+                    curve, [Bb] + G1 + H1, rows1
+                )
 
             protocol.append_point(t, curve, b"A_I1", A_I1)
             protocol.append_point(t, curve, b"A_O1", A_O1)
@@ -286,18 +316,39 @@ class Prover(RandomizableConstraintSystem):
 
         with phase("prove:phase2_msm"):
             if has_phase2:
-                G2 = gens.G(n)[n1:]
-                H2 = gens.H(n)[n1:]
                 zeros2 = [0] * n2
-                A_I2, A_O2, S2 = engine.msm_many(
-                    curve,
-                    [Bb] + G2 + H2,
-                    [
-                        [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
-                        [o_blinding2] + self.a_O[n1:] + zeros2,
-                        [s_blinding2] + s_L2 + s_R2,
-                    ],
-                )
+                rows2 = [
+                    [i_blinding2] + self.a_L[n1:] + self.a_R[n1:],
+                    [o_blinding2] + self.a_O[n1:] + zeros2,
+                    [s_blinding2] + s_L2 + s_R2,
+                ]
+                if tabled and bp_gens.gens_capacity >= n:
+                    import numpy as _np
+
+                    from ..ops import cache as dcache
+                    from ..ops.msm import msm_many_tabled
+
+                    tab = dcache.full_table(bp_gens, self.pc_gens, curve)
+                    cap = tab[3]
+                    idx = _np.concatenate([
+                        _np.arange(n1, n), cap + _np.arange(n1, n),
+                    ]).astype(_np.int32)
+                    parts = msm_many_tabled(
+                        curve, tab, [r[1:] for r in rows2], idx
+                    )
+                    blinds = self.pc_gens.commit_many(
+                        [0, 0, 0],
+                        [i_blinding2, o_blinding2, s_blinding2],
+                    )
+                    A_I2, A_O2, S2 = (
+                        curve.add(P, Bl) for P, Bl in zip(parts, blinds)
+                    )
+                else:
+                    G2 = gens.G(n)[n1:]
+                    H2 = gens.H(n)[n1:]
+                    A_I2, A_O2, S2 = engine.msm_many(
+                        curve, [Bb] + G2 + H2, rows2
+                    )
             else:
                 A_I2 = A_O2 = S2 = curve.zero()
 

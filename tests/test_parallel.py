@@ -335,15 +335,22 @@ def test_mesh_gh_scalars_match_unsharded():
     """gh_scalars with mesh-sharded w-vectors (padded_n >= 4096) is
     bit-identical to the single-device pipeline.
 
-    Runs in a subprocess: XLA:CPU's compiler nondeterministically
-    SIGSEGV/SIGABRTs on this GSPMD-sharded graph when many compiled
-    programs have accumulated in-process (observed twice 2026-08-19,
-    always green in isolation) — isolation keeps a compiler crash from
-    taking the whole suite down and still fails the test on a real
-    mismatch."""
+    Runs in a subprocess by default: XLA:CPU's compiler
+    nondeterministically SIGSEGV/SIGABRTs on this GSPMD-sharded graph
+    when many compiled programs have accumulated in-process (observed
+    twice 2026-08-19, always green in isolation) — isolation keeps a
+    compiler crash from taking the whole suite down and still fails the
+    test on a real mismatch. ABTPU_GH_INPROCESS=1 runs it in-process
+    (the repro hunt: tools + 4x accumulated-state runs on 2026-08-20
+    could not reproduce the crash; flip the default once enough green
+    in-process suite runs accumulate)."""
     import os
     import subprocess
     import sys
+
+    if os.environ.get("ABTPU_GH_INPROCESS") == "1":
+        exec(compile(_GH_MESH_CHECK, "<gh-mesh-check>", "exec"), {})
+        return
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
