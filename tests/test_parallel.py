@@ -7,10 +7,26 @@ shares the identical sharding structure but costs minutes of XLA:CPU
 compile, so it is exercised under `-m heavy`.
 """
 
+import os
 import random
 
 import jax
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """XLA:CPU's compiler segfaults inside backend_compile_and_load when
+    this module's mesh/GSPMD programs compile after the full suite's
+    accumulated in-process executables (reproduced 3/3 on 2026-08-20 —
+    crash sites test_mesh_batch_verify and
+    test_sharded_msm_arrays_matches_host, with and without the fusion
+    pass, never in a short run; see ABTPU_GH_INPROCESS). Dropping the
+    accumulated executables before the module compiles its programs
+    sidesteps the corrupted state."""
+    if os.environ.get("ABTPU_NO_CLEAR_CACHES") != "1":
+        jax.clear_caches()
+    yield
 
 from ark_bulletproofs_tpu import curves
 from ark_bulletproofs_tpu.hashes.chacha import ChaChaRng
