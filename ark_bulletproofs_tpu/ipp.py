@@ -193,7 +193,7 @@ class InnerProductProof:
         n = len(G_vec)
         fs_default = "1" if jax.devices()[0].platform != "cpu" else "0"
         fs_on = os.environ.get("ABTPU_IPA_FS", fs_default) == "1"
-        fs_max = int(os.environ.get("ABTPU_IPA_FS_MAX_N", "8192"))
+        fs_max = int(os.environ.get("ABTPU_IPA_FS_MAX_N", "65536"))
         if fs_on and n <= fs_max and engine.active_mesh() is None:
             res = ipa_prove_fs(
                 transcript, curve, Q, G_factors, H_factors,

@@ -570,3 +570,42 @@ def batch_add(spec, P, Q):
 @partial(jax.jit, static_argnums=0)
 def batch_double(spec, P):
     return double(spec, P)
+
+
+def point_batch_to_host(curve, arr) -> list:
+    """(C, B, 16) HOST limb array -> B affine points, model-aware:
+    C=3 SW Jacobian (None = identity) or C=4 TE extended ((0,1) =
+    identity). Batch counterpart of `point_to_host` for one-fetch
+    callers (ops/msm.py::msm_many_tabled)."""
+    from .limbs import limbs_to_int
+
+    arr = np.asarray(arr)
+    if arr.shape[0] == 4:  # TE extended: (X, Y, T, Z)
+        f = curve.fq
+        Rinv = f.R_inv
+        out = []
+        for b in range(arr.shape[1]):
+            x = limbs_to_int(arr[0, b]) * Rinv % f.p
+            y = limbs_to_int(arr[1, b]) * Rinv % f.p
+            z = limbs_to_int(arr[3, b]) * Rinv % f.p
+            zi = pow(z, -1, f.p)
+            out.append((x * zi % f.p, y * zi % f.p))
+        return out
+    return jacobian_batch_to_host(curve, arr)
+
+
+def point_batch_ints(curve, arr) -> list:
+    """(C, B, 16) HOST limb array (Montgomery) -> B projective int
+    tuples in the normal domain, model-aware: C=3 SW Jacobian (X, Y, Z)
+    or C=4 TE extended (X, Y, T, Z) — both directly consumable by the
+    host `proj_add`/`batch_to_affine` of the matching model."""
+    from .limbs import limbs_to_int
+
+    f = curve.fq
+    Rinv = f.R_inv
+    arr = np.asarray(arr)
+    C_, B = arr.shape[0], arr.shape[1]
+    return [
+        tuple(limbs_to_int(arr[c, b]) * Rinv % f.p for c in range(C_))
+        for b in range(B)
+    ]

@@ -522,11 +522,24 @@ def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
     # c=8 (window_bits): 22.7 ms, c=10: 26.0, c=12: 56.4.
     c = max(4, msm2.window_bits(N) - 2) if use_v2 else dmsm._window_bits(N)
 
-    bases = list(G_vec) + list(H_vec)
-    X, Y, inf = dc.affine_to_device(curve, bases)
-    X = jax.device_put(X)
-    Y = jax.device_put(Y)
-    inf = jax.device_put(np.asarray(inf))
+    # Generator tables are deterministic artifacts — cache the device
+    # upload across proofs (endpoint-keyed like ops/verify.py's verify
+    # cache; marshal+upload of 2N points costs ~2 s at N=2^16 through
+    # the tunnel).
+    from .verify import _IPA_VERIFY_CACHE
+
+    tkey = ("fs-table", curve.name, N,
+            G_vec[0], G_vec[-1], H_vec[0], H_vec[-1])
+    table = _IPA_VERIFY_CACHE.get(tkey)
+    if table is None:
+        bases = list(G_vec) + list(H_vec)
+        X, Y, inf = dc.affine_to_device(curve, bases)
+        table = (
+            jax.device_put(X), jax.device_put(Y),
+            jax.device_put(np.asarray(inf)),
+        )
+        _IPA_VERIFY_CACHE[tkey] = table
+    X, Y, inf = table
 
     def mont(xs):
         if not isinstance(xs, (list, tuple)):
@@ -673,11 +686,15 @@ class IpaDeviceProver:
         )
 
     def _host_lr(self, arr):
-        """(8, 16) fetch block -> host (L, R) with the c*Q term added."""
-        jacs = dc.jacobian_batch_ints(
-            self.curve, arr[:6].reshape(3, 2, N_LIMBS)
+        """(2*C + 2, 16) fetch block -> host (L, R) with the c*Q term
+        added (C = 3 SW Jacobian / 4 TE extended coords)."""
+        nc = 4 if dc.is_te(self.spec) else 3
+        jacs = dc.point_batch_ints(
+            self.curve, arr[:2 * nc].reshape(nc, 2, N_LIMBS)
         )
-        qj = _host_q_jacs(self.curve, self.Q, _cq_ints(self.curve, arr[6:]))
+        qj = _host_q_jacs(
+            self.curve, self.Q, _cq_ints(self.curve, arr[2 * nc:])
+        )
         return self.curve.batch_to_affine(
             [self.curve.proj_add(jacs[j], qj[j]) for j in range(2)]
         )
@@ -687,6 +704,7 @@ class IpaDeviceProver:
         return (
             t > 0
             and not self._sharded
+            and not dc.is_te(self.spec)  # fold MSM path is SW-only
             and cur >= 16
             and self.N // cur >= t
         )
@@ -794,11 +812,13 @@ class IpaDeviceProver:
         pts = _msm_pair(
             self.spec, self.c_compact, self.X, self.Y, self.inf, rows, bm
         )
-        # ONE fetch: 2 Jacobian partials + the 2 Q scalars ride together
-        # in the sync the Fiat-Shamir chain needs anyway.
+        # ONE fetch: 2 point partials + the 2 Q scalars ride together
+        # in the sync the Fiat-Shamir chain needs anyway (2*C coord
+        # rows: C=3 SW Jacobian / 4 TE extended).
         arr = np.asarray(
             jnp.concatenate(
-                [jnp.stack(pts).reshape(6, N_LIMBS), cq], axis=0
+                [jnp.stack(pts).reshape(2 * len(pts), N_LIMBS), cq],
+                axis=0,
             )
         )
         return self._host_lr(arr)
@@ -985,13 +1005,16 @@ class IpaBatchProver:
         return U, Ui
 
     def _host_lrs(self, arr):
-        """(8P, 16) fetch block -> [(L_b, R_b)] host affine pairs."""
+        """((2C+2)P, 16) fetch block -> [(L_b, R_b)] host affine pairs
+        (C = 3 SW Jacobian / 4 TE extended coords)."""
         P = self.P
-        jacs = dc.jacobian_batch_ints(
-            self.curve, arr[: 6 * P].reshape(3, 2 * P, N_LIMBS)
+        nc = 4 if dc.is_te(self.spec) else 3
+        jacs = dc.point_batch_ints(
+            self.curve, arr[: 2 * nc * P].reshape(nc, 2 * P, N_LIMBS)
         )
         qj = _host_q_jacs(
-            self.curve, self.base_B, _cq_ints(self.curve, arr[6 * P:])
+            self.curve, self.base_B,
+            _cq_ints(self.curve, arr[2 * nc * P:]),
         )
         aff = self.curve.batch_to_affine(
             [self.curve.proj_add(jacs[k], qj[k]) for k in range(2 * P)]
@@ -1048,7 +1071,7 @@ class IpaBatchProver:
         arr = np.asarray(
             jnp.concatenate(
                 [
-                    jnp.stack(pts).reshape(6 * P, N_LIMBS),
+                    jnp.stack(pts).reshape(2 * len(pts) * P, N_LIMBS),
                     cq.reshape(2 * P, N_LIMBS),
                 ],
                 axis=0,

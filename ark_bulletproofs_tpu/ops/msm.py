@@ -368,4 +368,4 @@ def msm_many_tabled(curve, table, scalar_sets, index_map):
         spec, _window_bits(m), X, Y, inf,
         jax.device_put(scal), jax.device_put(bm),
     )
-    return dc.jacobian_batch_to_host(curve, jnp.stack(out))  # one fetch
+    return dc.point_batch_to_host(curve, jnp.stack(out))  # one fetch

@@ -120,10 +120,12 @@ def test_mont_pow_inverse():
 
 
 @pytest.mark.heavy
-def test_ipa_prove_fs_bit_exact():
+@pytest.mark.parametrize("C", [secq256k1, zorro], ids=lambda c: c.name)
+def test_ipa_prove_fs_bit_exact(C):
     """The fully fused on-chip-Fiat-Shamir IPA prover must produce the
     same proof AND the same final transcript state as the host prover
-    (ops/ipa.py::ipa_prove_fs)."""
+    (ops/ipa.py::ipa_prove_fs) — on both SW curves (zorro's 255-bit
+    fields exercise the shave/mask and serialization-width branches)."""
     from ark_bulletproofs_tpu import engine
     from ark_bulletproofs_tpu.generators import GeneratorsChain
     from ark_bulletproofs_tpu.ipp import InnerProductProof
@@ -131,7 +133,6 @@ def test_ipa_prove_fs_bit_exact():
     from ark_bulletproofs_tpu.transcript import protocol
     from ark_bulletproofs_tpu.util import exp_vec
 
-    C = secq256k1
     n = 8
     f = C.fr
     rng = random.Random(3)

@@ -198,3 +198,38 @@ def test_ipa_device_shrink_matches_host(monkeypatch):
 
     t = Transcript(b"ipashrinktest")
     dev_proof.verify(n, t, C, Gf, Hf, P, Q, G, H)
+
+
+@pytest.mark.heavy
+def test_ipa_device_te_curve_matches_host(monkeypatch):
+    """TE-model (curve25519) device IPA: the compact-round fetch block
+    carries 4 extended coords per point, not 3 Jacobian ones — the
+    round-4 curve25519 TPU sweep crashed on the hardcoded (6, 16)
+    reshape. Bit-exactness vs the host path covers the model-aware
+    _host_lr/point_batch_ints plumbing."""
+    import random
+
+    from ark_bulletproofs_tpu.curves import curve25519 as C25
+    from ark_bulletproofs_tpu.generators import GeneratorsChain
+    from ark_bulletproofs_tpu.util import exp_vec
+
+    n = 64
+    f = C25.fr
+    rng = random.Random(3)
+    G = GeneratorsChain(C25, b"te G").take(n)
+    H = GeneratorsChain(C25, b"te H").take(n)
+    Q = C25.mul(C25.gen, rng.randrange(f.p))
+    a = [rng.randrange(f.p) for _ in range(n)]
+    b = [rng.randrange(f.p) for _ in range(n)]
+    Gf = [1] * n
+    Hf = exp_vec(f, rng.randrange(f.p), n)
+    monkeypatch.setattr(engine.config, "backend", "host")
+    t = Transcript(b"te ipa")
+    host = InnerProductProof.create(
+        t, C25, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+    monkeypatch.setattr(engine.config, "backend", "jax")
+    t = Transcript(b"te ipa")
+    dev = InnerProductProof.create(
+        t, C25, Q, Gf, Hf, list(G), list(H), list(a), list(b))
+    assert dev.L_vec == host.L_vec and dev.R_vec == host.R_vec
+    assert dev.a == host.a and dev.b == host.b
