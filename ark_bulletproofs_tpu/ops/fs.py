@@ -169,8 +169,11 @@ def _maybe_run_f(st, pos, pb):
     )
 
 
-def absorb(st, pos, pb, data):
-    """Absorb a (K,) u32 byte vector (K static)."""
+_G = 8  # absorb/squeeze group size (bytes per scan step)
+
+
+def _absorb_bytes(st, pos, pb, data):
+    """Byte-at-a-time absorb (the exact host model)."""
 
     def step(carry, byte):
         st, pos, pb = carry
@@ -181,20 +184,79 @@ def absorb(st, pos, pb, data):
     return st, pos, pb
 
 
-def squeeze(st, pos, pb, n: int):
-    """PRF-squeeze n bytes (n static). Returns (st, pos, pb, (n,) bytes)."""
+def absorb(st, pos, pb, data):
+    """Absorb a (K,) u32 byte vector (K static).
 
-    def step(carry, _):
+    Grouped: 8 bytes per scan step with a bulk dynamic-slice XOR when
+    the group fits before the sponge boundary, falling back to the
+    unrolled byte path on wrap. TPU loop iterations cost ~17 us each —
+    the byte-wise scan was ~8 ms of every FS round's ~49 ms."""
+    K = int(data.shape[0])
+    ngrp = K // _G
+
+    def grp_step(carry, grp):
         st, pos, pb = carry
-        byte = st[pos]
-        st = st.at[pos].set(jnp.uint32(0))
-        carry = _maybe_run_f(st, pos + 1, pb)
-        return carry, byte
+
+        def bulk(st, pos, pb):
+            seg = jax.lax.dynamic_slice(st, (pos,), (_G,))
+            st = jax.lax.dynamic_update_slice(st, seg ^ grp, (pos,))
+            return st, pos + _G, pb
+
+        def slow(st, pos, pb):
+            for i in range(_G):
+                st = st.at[pos].set(st[pos] ^ grp[i])
+                st, pos, pb = _maybe_run_f(st, pos + 1, pb)
+            return st, pos, pb
+
+        st, pos, pb = jax.lax.cond(
+            pos + _G <= STROBE_R, bulk, slow, st, pos, pb
+        )
+        # the bulk path can land exactly on the boundary
+        return _maybe_run_f(st, pos, pb), None
+
+    if ngrp:
+        (st, pos, pb), _ = jax.lax.scan(
+            grp_step, (st, pos, pb), data[: ngrp * _G].reshape(ngrp, _G)
+        )
+    if K % _G:
+        st, pos, pb = _absorb_bytes(st, pos, pb, data[ngrp * _G:])
+    return st, pos, pb
+
+
+def squeeze(st, pos, pb, n: int):
+    """PRF-squeeze n bytes (n static). Returns (st, pos, pb, (n,) bytes).
+
+    Grouped like `absorb` (n must be a multiple of 8 — the protocol
+    only squeezes 32-byte challenges here)."""
+    assert n % _G == 0
+
+    def grp_step(carry, _):
+        st, pos, pb = carry
+
+        def bulk(st, pos, pb):
+            out = jax.lax.dynamic_slice(st, (pos,), (_G,))
+            st = jax.lax.dynamic_update_slice(
+                st, jnp.zeros(_G, U32), (pos,)
+            )
+            return st, pos + _G, pb, out
+
+        def slow(st, pos, pb):
+            outs = []
+            for _i in range(_G):
+                outs.append(st[pos])
+                st = st.at[pos].set(jnp.uint32(0))
+                st, pos, pb = _maybe_run_f(st, pos + 1, pb)
+            return st, pos, pb, jnp.stack(outs)
+
+        st, pos, pb, out = jax.lax.cond(
+            pos + _G <= STROBE_R, bulk, slow, st, pos, pb
+        )
+        return _maybe_run_f(st, pos, pb), out
 
     (st, pos, pb), out = jax.lax.scan(
-        step, (st, pos, pb), None, length=n
+        grp_step, (st, pos, pb), None, length=n // _G
     )
-    return st, pos, pb, out
+    return st, pos, pb, out.reshape(n)
 
 
 def begin_op(st, pos, pb, flags: int, force_f: bool):
