@@ -172,6 +172,19 @@ def _mm(f: FieldSpec, xs, ys):
     return [r[i] for i in range(len(xs))]
 
 
+def _mm_fast(f: FieldSpec, xs, ys):
+    """`_mm` through the Pallas CIOS kernel (df.mont_mul_fast; CPU falls
+    back to the XLA path inside). The TE model has no fused point
+    kernels — its group law is built from these batched muls, and the
+    XLA elementwise lowering measured ~11x slower end to end (TE v1 MSM
+    (2, 2048): 1066 ms vs 95 ms for the kernel-backed SW path)."""
+    shape = jnp.broadcast_shapes(*(x.shape for x in xs + ys))
+    a = jnp.stack([jnp.broadcast_to(x, shape) for x in xs], 0)
+    b = jnp.stack([jnp.broadcast_to(y, shape) for y in ys], 0)
+    r = df.mont_mul_fast(f, a, b)
+    return [r[i] for i in range(len(xs))]
+
+
 # --- twisted-Edwards group law (extended coords, HWCD unified) ----------
 
 
@@ -182,21 +195,21 @@ def _te_add_core(spec: TECurveSpec, P: Point, X2, Y2, T2, Z2_or_none):
     (ark_bulletproofs_tpu/curves/models.py)."""
     f = spec.fq
     X1, Y1, T1, Z1 = P
-    A, B, C0, E0 = _mm(
+    A, B, C0, E0 = _mm_fast(
         f, [X1, Y1, T1, df.add(f, X1, Y1)],
         [X2, Y2, T2, df.add(f, X2, Y2)],
     )
-    (C,) = _mm(f, [jnp.asarray(spec.d_mont_arr)], [C0])
+    (C,) = _mm_fast(f, [jnp.asarray(spec.d_mont_arr)], [C0])
     if Z2_or_none is None:
         D = Z1
     else:
-        (D,) = _mm(f, [Z1], [Z2_or_none])
+        (D,) = _mm_fast(f, [Z1], [Z2_or_none])
     E = df.sub(f, E0, df.add(f, A, B))
     F = df.sub(f, D, C)
     G = df.add(f, D, C)
-    (aA,) = _mm(f, [jnp.asarray(spec.a_mont_arr)], [A])
+    (aA,) = _mm_fast(f, [jnp.asarray(spec.a_mont_arr)], [A])
     H = df.sub(f, B, aA)
-    X3, Y3, T3, Z3 = _mm(f, [E, G, E, F], [F, H, H, G])
+    X3, Y3, T3, Z3 = _mm_fast(f, [E, G, E, F], [F, H, H, G])
     return (X3, Y3, T3, Z3)
 
 
@@ -216,7 +229,7 @@ def _te_add_mixed(spec: TECurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
     one = df.mont_one(f, Qx.shape[:-1])
     Qx = df.select(q_inf, zero, Qx)
     Qy = df.select(q_inf, one, Qy)
-    (T2,) = _mm(f, [Qx], [Qy])
+    (T2,) = _mm_fast(f, [Qx], [Qy])
     return _te_add_core(spec, P, Qx, Qy, T2, None)
 
 
@@ -469,14 +482,21 @@ def affine_to_device(curve, points) -> tuple:
 
 
 def point_to_host(curve, P) -> object:
-    """One device point -> host affine int tuple (None = SW identity)."""
+    """One device point -> host affine int tuple (None = SW identity).
+
+    ONE stacked device->host fetch: per-coordinate `np.asarray` calls
+    are separate blocking tunnel RPCs (measured 3.1 s of a 4.2 s TE
+    verify — 6 coord fetches — and ~180 ms of every SW verify)."""
     from .limbs import limbs_to_int
 
     f = curve.fq
     Rinv = f.R_inv
+    arr = np.asarray(
+        jnp.stack([jnp.asarray(c).reshape(-1)[:N_LIMBS] for c in P])
+    )
 
     def coord(i):
-        return limbs_to_int(np.asarray(P[i]).reshape(-1)[:N_LIMBS]) * Rinv % f.p
+        return limbs_to_int(arr[i]) * Rinv % f.p
 
     if len(P) == 4:  # TE extended
         x, y, z = coord(0), coord(1), coord(3)
