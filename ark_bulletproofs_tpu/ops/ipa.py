@@ -490,7 +490,14 @@ def _rounds_all_fs(spec, fr: df.FieldSpec, c: int, lg_n: int,
     carry = (a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok0)
     carry = jax.lax.fori_loop(0, lg_n, body, carry)
     a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
-    return LRx, LRy, LRinf, us, a[0], b[0], st, pos, pb, ok
+    # ONE flat u32 output so the host needs a single fetch (ten
+    # separate np.asarray calls are ten blocking tunnel RPCs).
+    return jnp.concatenate([
+        LRx.reshape(-1), LRy.reshape(-1),
+        LRinf.astype(U32).reshape(-1), us.reshape(-1),
+        a[0], b[0], st,
+        jnp.stack([pos, pb, ok.astype(U32)]),
+    ])
 
 
 def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
@@ -565,9 +572,20 @@ def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
         spec, fr, c, lg_n, curve.fr.num_bits, use_v2,
         X, Y, inf, a, b, gm, hm, one_q, qx, qy, st, pos, pb,
     )
-    (LRx, LRy, LRinf, us, a0_l, b0_l, st_f, pos_f, pb_f, ok) = (
-        np.asarray(o) for o in jax.block_until_ready(out)
-    )
+    flat = np.asarray(out)  # the ONE device->host fetch of the proof
+    k = lg_n * 2 * N_LIMBS
+    LRx = flat[:k].reshape(lg_n, 2, N_LIMBS)
+    LRy = flat[k:2 * k].reshape(lg_n, 2, N_LIMBS)
+    off = 2 * k
+    LRinf = flat[off:off + lg_n * 2].reshape(lg_n, 2).astype(bool)
+    off += lg_n * 2
+    us = flat[off:off + lg_n * N_LIMBS].reshape(lg_n, N_LIMBS)
+    off += lg_n * N_LIMBS
+    a0_l = flat[off:off + N_LIMBS]
+    b0_l = flat[off + N_LIMBS:off + 2 * N_LIMBS]
+    off += 2 * N_LIMBS
+    st_f = flat[off:off + 200]
+    pos_f, pb_f, ok = flat[off + 200], flat[off + 201], flat[off + 202]
 
     if not bool(ok):
         return None  # astronomically rare Fp::rand rejection
