@@ -83,6 +83,20 @@ class PedersenGens:
                     zi2 = zi * zi % p
                     out[i] = (X * zi2 % p, Y * zi2 % p * zi % p)
                 return out
+        # No native backend for this curve (TE model / wide fields):
+        # batch on the device instead of per-point host double-and-add
+        # (~3 ms each — seconds at shuffle k=1024 scale).
+        if len(values) >= 64:
+            from . import engine
+
+            if engine.use_device(len(values), c):
+                from .ops.prove import pedersen_commit_many_dev
+
+                pts = pedersen_commit_many_dev(
+                    c, self.B, self.B_blinding, values, blinds
+                )
+                if pts is not None:
+                    return pts
         return [self.commit(v, r) for v, r in zip(values, blinds)]
 
 

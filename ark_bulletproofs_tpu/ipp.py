@@ -262,10 +262,27 @@ class InnerProductProof:
                 for b in range(P)
             ]
 
-        from .ops.ipa import IpaBatchProver
+        from .ops.ipa import IpaBatchProver, ipa_prove_fs_batch
 
         for t in transcripts:
             protocol.innerproduct_domain_sep(t, n)
+
+        # Whole-batch on-chip Fiat-Shamir: one dispatch + one fetch for
+        # all P proofs (the per-round lockstep below pays 2 tunnel RPCs
+        # per round). Falls through on CPU/mesh/rejection.
+        import jax as _jax
+        import os as _os
+
+        fs_default = "1" if _jax.devices()[0].platform != "cpu" else "0"
+        if (_os.environ.get("ABTPU_IPA_FS", fs_default) == "1"
+                and engine.active_mesh() is None):
+            res = ipa_prove_fs_batch(
+                transcripts, curve, base_B, ws,
+                G_factors_list, H_factors_list,
+                G_vec, H_vec, a_list, b_list,
+            )
+            if res is not None:
+                return [cls(*r) for r in res]
 
         st = IpaBatchProver(
             curve, base_B, ws, G_vec, H_vec,

@@ -352,8 +352,6 @@ _KERNEL_MIN_LANES = 1
 def _use_kernels(spec, shape) -> bool:
     import os
 
-    if is_te(spec):
-        return False
     if os.environ.get("ABTPU_NO_PALLAS"):
         return False
     if jax.devices()[0].platform == "cpu" and not os.environ.get(
@@ -388,20 +386,20 @@ def _unflat(arrs, shape, lanes):
 
 
 def double(spec, P: Point) -> Point:
-    if is_te(spec):
-        return _te_double(spec, P)
     shape = jnp.broadcast_shapes(*(c.shape[:-1] for c in P))
     if _use_kernels(spec, shape):
         from . import kernels as kk
 
-        (x, y, z), lanes, _ = _flat_pad(list(P), shape)
-        return _unflat(kk.sw_double_tiled(spec, x, y, z), shape, lanes)
+        flat, lanes, _ = _flat_pad(list(P), shape)
+        if is_te(spec):
+            return _unflat(kk.te_double_tiled(spec, *flat), shape, lanes)
+        return _unflat(kk.sw_double_tiled(spec, *flat), shape, lanes)
+    if is_te(spec):
+        return _te_double(spec, P)
     return _sw_double(spec, P)
 
 
 def add(spec, P: Point, Q: Point) -> Point:
-    if is_te(spec):
-        return _te_add(spec, P, Q)
     shape = jnp.broadcast_shapes(
         *(c.shape[:-1] for c in P), *(c.shape[:-1] for c in Q)
     )
@@ -409,44 +407,54 @@ def add(spec, P: Point, Q: Point) -> Point:
         from . import kernels as kk
 
         flat, lanes, _ = _flat_pad(list(P) + list(Q), shape)
+        if is_te(spec):
+            return _unflat(kk.te_add_tiled(spec, *flat), shape, lanes)
         return _unflat(kk.sw_add_tiled(spec, *flat), shape, lanes)
+    if is_te(spec):
+        return _te_add(spec, P, Q)
     return _sw_add(spec, P, Q)
 
 
 def double_k_add(spec, P: Point, Q: Point, k: int) -> Point:
     """(2^k * P) + Q — the Horner step, fused into one kernel on TPU."""
-    if not is_te(spec):
-        shape = jnp.broadcast_shapes(
-            *(c.shape[:-1] for c in P), *(c.shape[:-1] for c in Q)
-        )
-        if _use_kernels(spec, shape):
-            from . import kernels as kk
+    shape = jnp.broadcast_shapes(
+        *(c.shape[:-1] for c in P), *(c.shape[:-1] for c in Q)
+    )
+    if _use_kernels(spec, shape):
+        from . import kernels as kk
 
-            flat, lanes, _ = _flat_pad(list(P) + list(Q), shape)
+        flat, lanes, _ = _flat_pad(list(P) + list(Q), shape)
+        if is_te(spec):
             return _unflat(
-                kk.sw_double_k_add_tiled(spec, *flat, k), shape, lanes
+                kk.te_double_k_add_tiled(spec, *flat, k), shape, lanes
             )
+        return _unflat(
+            kk.sw_double_k_add_tiled(spec, *flat, k), shape, lanes
+        )
     P = jax.lax.fori_loop(0, k, lambda i, a: double(spec, a), P)
     return add(spec, P, Q)
 
 
 def add_mixed(spec, P: Point, Qx, Qy, q_inf) -> Point:
-    if is_te(spec):
-        return _te_add_mixed(spec, P, Qx, Qy, q_inf)
     shape = jnp.broadcast_shapes(
         *(c.shape[:-1] for c in P), Qx.shape[:-1], Qy.shape[:-1], q_inf.shape
     )
     if _use_kernels(spec, shape):
         from . import kernels as kk
-        from .kernels import BLOCK
 
         flat, lanes, m = _flat_pad(list(P) + [Qx, Qy], shape)
         qi = jnp.broadcast_to(q_inf, shape).reshape(lanes)
         if m != lanes:
             qi = jnp.pad(qi, (0, m - lanes), constant_values=True)
+        if is_te(spec):
+            return _unflat(
+                kk.te_madd_tiled(spec, *flat, qi), shape, lanes
+            )
         return _unflat(
             kk.sw_madd_tiled(spec, *flat, qi), shape, lanes
         )
+    if is_te(spec):
+        return _te_add_mixed(spec, P, Qx, Qy, q_inf)
     return _sw_add_mixed(spec, P, Qx, Qy, q_inf)
 
 

@@ -10,7 +10,7 @@ every round costs two ~30 ms RPCs, which dominates single-proof latency
 This module re-implements the byte layer ON DEVICE so the whole round
 loop — MSM, point serialization, transcript absorb, challenge squeeze,
 ChaCha20 scalar sampling, field inversion, fold — runs as ONE XLA
-program with zero host syncs (ops/ipa.py::_rounds_all_fs). Bit-exact
+program with zero host syncs (ops/ipa.py::_rounds_fs_seg). Bit-exact
 with the host layer:
 
   * Keccak-f[1600] on 25 (lo, hi) u32 lane pairs (FIPS-202);
@@ -94,41 +94,45 @@ def _rotl64(lo, hi, s: np.ndarray):
 
 
 def keccak_f1600_dev(lo, hi):
-    """Keccak-f[1600] over (25,) u32 lo/hi lane arrays (index x + 5y)."""
+    """Keccak-f[1600] over (..., 25) u32 lo/hi lane arrays (x + 5y)."""
     rc_lo = jnp.asarray(_RC_LO)
     rc_hi = jnp.asarray(_RC_HI)
 
     def round_body(r, lanes):
         lo, hi = lanes
         # theta
-        l5 = lo.reshape(5, 5)
-        h5 = hi.reshape(5, 5)
-        clo = l5[0] ^ l5[1] ^ l5[2] ^ l5[3] ^ l5[4]
-        chi_ = h5[0] ^ h5[1] ^ h5[2] ^ h5[3] ^ h5[4]
+        l5 = lo.reshape(lo.shape[:-1] + (5, 5))
+        h5 = hi.reshape(hi.shape[:-1] + (5, 5))
+        clo = (l5[..., 0, :] ^ l5[..., 1, :] ^ l5[..., 2, :]
+               ^ l5[..., 3, :] ^ l5[..., 4, :])
+        chi_ = (h5[..., 0, :] ^ h5[..., 1, :] ^ h5[..., 2, :]
+                ^ h5[..., 3, :] ^ h5[..., 4, :])
         r1lo = (clo << 1) | (chi_ >> 31)
         r1hi = (chi_ << 1) | (clo >> 31)
-        dlo = jnp.roll(clo, 1) ^ jnp.roll(r1lo, -1)
-        dhi = jnp.roll(chi_, 1) ^ jnp.roll(r1hi, -1)
+        dlo = jnp.roll(clo, 1, axis=-1) ^ jnp.roll(r1lo, -1, axis=-1)
+        dhi = jnp.roll(chi_, 1, axis=-1) ^ jnp.roll(r1hi, -1, axis=-1)
         lo = lo ^ jnp.tile(dlo, 5)
         hi = hi ^ jnp.tile(dhi, 5)
         # rho + pi (constant gather + constant per-lane rotations)
-        lo, hi = _rotl64(lo[_PI_SRC], hi[_PI_SRC], _PI_ROT)
+        lo, hi = _rotl64(lo[..., _PI_SRC], hi[..., _PI_SRC], _PI_ROT)
         # chi
-        lo = lo ^ (~lo[_CHI_1] & lo[_CHI_2])
-        hi = hi ^ (~hi[_CHI_1] & hi[_CHI_2])
+        lo = lo ^ (~lo[..., _CHI_1] & lo[..., _CHI_2])
+        hi = hi ^ (~hi[..., _CHI_1] & hi[..., _CHI_2])
         # iota
-        lo = lo.at[0].set(lo[0] ^ rc_lo[r])
-        hi = hi.at[0].set(hi[0] ^ rc_hi[r])
+        lo = lo.at[..., 0].set(lo[..., 0] ^ rc_lo[r])
+        hi = hi.at[..., 0].set(hi[..., 0] ^ rc_hi[r])
         return lo, hi
 
     return jax.lax.fori_loop(0, 24, round_body, (lo, hi))
 
 
 def _bytes_to_lanes(st):
-    """(200,) u32 bytes -> ((25,) lo, (25,) hi) little-endian lanes."""
-    b = st.reshape(25, 8)
-    lo = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
-    hi = b[:, 4] | (b[:, 5] << 8) | (b[:, 6] << 16) | (b[:, 7] << 24)
+    """(..., 200) u32 bytes -> ((..., 25) lo, hi) little-endian lanes."""
+    b = st.reshape(st.shape[:-1] + (25, 8))
+    lo = (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
+          | (b[..., 3] << 24))
+    hi = (b[..., 4] | (b[..., 5] << 8) | (b[..., 6] << 16)
+          | (b[..., 7] << 24))
     return lo, hi
 
 
@@ -137,7 +141,7 @@ def _lanes_to_bytes(lo, hi):
         (lo >> 0) & 0xFF, (lo >> 8) & 0xFF, (lo >> 16) & 0xFF, (lo >> 24),
         (hi >> 0) & 0xFF, (hi >> 8) & 0xFF, (hi >> 16) & 0xFF, (hi >> 24),
     ]
-    return jnp.stack(parts, axis=1).reshape(200)
+    return jnp.stack(parts, axis=-1).reshape(lo.shape[:-1] + (200,))
 
 
 def _permute_bytes(st):
@@ -155,10 +159,20 @@ FLAG_C = 0x04
 FLAG_I = 0x01
 
 
+# All STROBE/Merlin functions below are BATCH-POLYMORPHIC: `st` may be
+# (200,) or (..., 200). The byte POSITIONS (pos, pos_begin) stay scalar
+# because every transcript in a lockstep batch performs the identical
+# operation sequence (same labels, same lengths) — only the CONTENT
+# differs per proof. Scalar pos keeps the sponge control flow out of
+# vmap (a vmapped `cond` would run the Keccak branch for every byte).
+
+
 def _run_f(st, pos, pb):
-    st = st.at[pos].set(st[pos] ^ pb)
-    st = st.at[pos + 1].set(st[pos + 1] ^ jnp.uint32(0x04))
-    st = st.at[STROBE_R + 1].set(st[STROBE_R + 1] ^ jnp.uint32(0x80))
+    st = st.at[..., pos].set(st[..., pos] ^ pb)
+    st = st.at[..., pos + 1].set(st[..., pos + 1] ^ jnp.uint32(0x04))
+    st = st.at[..., STROBE_R + 1].set(
+        st[..., STROBE_R + 1] ^ jnp.uint32(0x80)
+    )
     st = _permute_bytes(st)
     return st, jnp.uint32(0), jnp.uint32(0)
 
@@ -172,39 +186,51 @@ def _maybe_run_f(st, pos, pb):
 _G = 8  # absorb/squeeze group size (bytes per scan step)
 
 
+def _slice_last(st, pos, k: int):
+    return jax.lax.dynamic_slice_in_dim(st, pos, k, axis=-1)
+
+
+def _update_last(st, seg, pos):
+    start = (jnp.uint32(0),) * (st.ndim - 1) + (pos,)
+    return jax.lax.dynamic_update_slice(st, seg, start)
+
+
 def _absorb_bytes(st, pos, pb, data):
-    """Byte-at-a-time absorb (the exact host model)."""
+    """Byte-at-a-time absorb (the exact host model). data (..., K)."""
+    K = int(data.shape[-1])
+    xs = jnp.moveaxis(data, -1, 0) if data.ndim > 1 else data
 
     def step(carry, byte):
         st, pos, pb = carry
-        st = st.at[pos].set(st[pos] ^ byte)
+        st = st.at[..., pos].set(st[..., pos] ^ byte)
         return _maybe_run_f(st, pos + 1, pb), None
 
-    (st, pos, pb), _ = jax.lax.scan(step, (st, pos, pb), data)
+    (st, pos, pb), _ = jax.lax.scan(step, (st, pos, pb), xs, length=K)
     return st, pos, pb
 
 
 def absorb(st, pos, pb, data):
-    """Absorb a (K,) u32 byte vector (K static).
+    """Absorb a (..., K) u32 byte array (K static; leading dims match
+    st's batch dims — per-proof content, shared positions).
 
     Grouped: 8 bytes per scan step with a bulk dynamic-slice XOR when
     the group fits before the sponge boundary, falling back to the
     unrolled byte path on wrap. TPU loop iterations cost ~17 us each —
     the byte-wise scan was ~8 ms of every FS round's ~49 ms."""
-    K = int(data.shape[0])
+    K = int(data.shape[-1])
     ngrp = K // _G
 
     def grp_step(carry, grp):
         st, pos, pb = carry
 
         def bulk(st, pos, pb):
-            seg = jax.lax.dynamic_slice(st, (pos,), (_G,))
-            st = jax.lax.dynamic_update_slice(st, seg ^ grp, (pos,))
+            seg = _slice_last(st, pos, _G)
+            st = _update_last(st, seg ^ grp, pos)
             return st, pos + _G, pb
 
         def slow(st, pos, pb):
             for i in range(_G):
-                st = st.at[pos].set(st[pos] ^ grp[i])
+                st = st.at[..., pos].set(st[..., pos] ^ grp[..., i])
                 st, pos, pb = _maybe_run_f(st, pos + 1, pb)
             return st, pos, pb
 
@@ -215,16 +241,21 @@ def absorb(st, pos, pb, data):
         return _maybe_run_f(st, pos, pb), None
 
     if ngrp:
+        grps = data[..., : ngrp * _G].reshape(
+            data.shape[:-1] + (ngrp, _G)
+        )
+        grps = jnp.moveaxis(grps, -2, 0)  # (ngrp, ..., G)
         (st, pos, pb), _ = jax.lax.scan(
-            grp_step, (st, pos, pb), data[: ngrp * _G].reshape(ngrp, _G)
+            grp_step, (st, pos, pb), grps, length=ngrp
         )
     if K % _G:
-        st, pos, pb = _absorb_bytes(st, pos, pb, data[ngrp * _G:])
+        st, pos, pb = _absorb_bytes(st, pos, pb, data[..., ngrp * _G:])
     return st, pos, pb
 
 
 def squeeze(st, pos, pb, n: int):
-    """PRF-squeeze n bytes (n static). Returns (st, pos, pb, (n,) bytes).
+    """PRF-squeeze n bytes (n static). Returns (st, pos, pb, (..., n)
+    bytes — leading dims are st's batch dims).
 
     Grouped like `absorb` (n must be a multiple of 8 — the protocol
     only squeezes 32-byte challenges here)."""
@@ -234,19 +265,17 @@ def squeeze(st, pos, pb, n: int):
         st, pos, pb = carry
 
         def bulk(st, pos, pb):
-            out = jax.lax.dynamic_slice(st, (pos,), (_G,))
-            st = jax.lax.dynamic_update_slice(
-                st, jnp.zeros(_G, U32), (pos,)
-            )
+            out = _slice_last(st, pos, _G)
+            st = _update_last(st, jnp.zeros_like(out), pos)
             return st, pos + _G, pb, out
 
         def slow(st, pos, pb):
             outs = []
             for _i in range(_G):
-                outs.append(st[pos])
-                st = st.at[pos].set(jnp.uint32(0))
+                outs.append(st[..., pos])
+                st = st.at[..., pos].set(jnp.uint32(0))
                 st, pos, pb = _maybe_run_f(st, pos + 1, pb)
-            return st, pos, pb, jnp.stack(outs)
+            return st, pos, pb, jnp.stack(outs, axis=-1)
 
         st, pos, pb, out = jax.lax.cond(
             pos + _G <= STROBE_R, bulk, slow, st, pos, pb
@@ -256,7 +285,9 @@ def squeeze(st, pos, pb, n: int):
     (st, pos, pb), out = jax.lax.scan(
         grp_step, (st, pos, pb), None, length=n // _G
     )
-    return st, pos, pb, out.reshape(n)
+    # out: (n//G, ..., G) -> (..., n)
+    out = jnp.moveaxis(out, 0, -2)
+    return st, pos, pb, out.reshape(out.shape[:-2] + (n,))
 
 
 def begin_op(st, pos, pb, flags: int, force_f: bool):
@@ -308,12 +339,18 @@ _SIGMA = np.array(
 
 
 def chacha20_block0(key_words):
-    """Block 0 of the ChaCha20 keystream for an 8-word key; (16,) words
-    (hashes/chacha.py::chacha20_block_words with counter 0)."""
+    """Block 0 of the ChaCha20 keystream for (..., 8)-word keys;
+    (..., 16) words (hashes/chacha.py::chacha20_block_words, counter 0)."""
+    batch = key_words.shape[:-1]
     init = jnp.concatenate(
-        [jnp.asarray(_SIGMA), key_words, jnp.zeros(4, U32)]
+        [
+            jnp.broadcast_to(jnp.asarray(_SIGMA), batch + (4,)),
+            key_words,
+            jnp.zeros(batch + (4,), U32),
+        ],
+        axis=-1,
     )
-    x = [init[i] for i in range(16)]
+    x = [init[..., i] for i in range(16)]
 
     def rotl(v, n):
         return (v << np.uint32(n)) | (v >> np.uint32(32 - n))
@@ -338,27 +375,30 @@ def chacha20_block0(key_words):
         x[1], x[6], x[11], x[12] = quarter(x[1], x[6], x[11], x[12])
         x[2], x[7], x[8], x[13] = quarter(x[2], x[7], x[8], x[13])
         x[3], x[4], x[9], x[14] = quarter(x[3], x[4], x[9], x[14])
-    return jnp.stack(x) + init
+    return jnp.stack(x, axis=-1) + init
 
 
 def fr_rand_from_seed(fr: df.FieldSpec, num_bits: int, seed_bytes):
     """arkworks `Fp::rand(ChaCha(seed))` on device (fields.py:148-161).
 
-    seed_bytes: (32,) u32 bytes (the transcript challenge). Returns
-    ((16,) u32 Montgomery limbs, ok bool). ok is False on the ~2^-128
-    rejection branch (limbs >= p after masking) — the caller's host
-    replay catches that case and falls back; no in-program redraw.
+    seed_bytes: (..., 32) u32 bytes (the transcript challenge). Returns
+    ((..., 16) u32 Montgomery limbs, (...) ok bool). ok is False on the
+    ~2^-128 rejection branch (limbs >= p after masking) — the caller's
+    host replay catches that case and falls back; no in-program redraw.
     """
-    key = seed_bytes.reshape(8, 4)
+    key = seed_bytes.reshape(seed_bytes.shape[:-1] + (8, 4))
     key_words = (
-        key[:, 0] | (key[:, 1] << 8) | (key[:, 2] << 16) | (key[:, 3] << 24)
+        key[..., 0] | (key[..., 1] << 8) | (key[..., 2] << 16)
+        | (key[..., 3] << 24)
     )
-    w = chacha20_block0(key_words)[:8]
+    w = chacha20_block0(key_words)[..., :8]
     shave = 64 * 4 - num_bits
     mask64 = ((1 << 64) - 1) >> shave
-    w = w.at[6].set(w[6] & jnp.uint32(mask64 & 0xFFFFFFFF))
-    w = w.at[7].set(w[7] & jnp.uint32(mask64 >> 32))
-    limbs = jnp.stack([w & 0xFFFF, w >> 16], axis=1).reshape(16)
+    w = w.at[..., 6].set(w[..., 6] & jnp.uint32(mask64 & 0xFFFFFFFF))
+    w = w.at[..., 7].set(w[..., 7] & jnp.uint32(mask64 >> 32))
+    limbs = jnp.stack([w & 0xFFFF, w >> 16], axis=-1).reshape(
+        w.shape[:-1] + (16,)
+    )
     p_arr = jnp.asarray(fr.p_arr)
     ok = _limbs_lt(limbs, p_arr)
     return limbs, ok
@@ -438,10 +478,21 @@ def point_uncompressed_bytes(fq: df.FieldSpec, num_bits: int, xc, yc, inf):
     # is_less_than_neg semantics, fields.py:182-184).
     py = df.sub(fq, jnp.zeros_like(yc), yc)
     neg = _limbs_lt(py, yc)
-    xb = limbs_to_bytes_le(jnp.where(inf, jnp.zeros_like(xc), xc), x_size)
-    yb = limbs_to_bytes_le(jnp.where(inf, jnp.zeros_like(yc), yc), y_size)
+    infc = jnp.asarray(inf)[..., None]  # broadcast over the limb axis
+    xb = limbs_to_bytes_le(jnp.where(infc, jnp.zeros_like(xc), xc), x_size)
+    yb = limbs_to_bytes_le(jnp.where(infc, jnp.zeros_like(yc), yc), y_size)
     flag = jnp.where(
         inf, jnp.uint32(1 << 6), jnp.where(neg, jnp.uint32(1 << 7), 0)
     )
     yb = yb.at[..., y_size - 1].set(yb[..., y_size - 1] | flag)
     return jnp.concatenate([xb, yb], axis=-1)
+
+
+def te_point_uncompressed_bytes(fq: df.FieldSpec, num_bits: int, xc, yc):
+    """arkworks uncompressed TWISTED-EDWARDS encoding
+    (curves/models.py:383-385): x bytes || y bytes, NO flag bits — the
+    identity (0, 1) encodes naturally. xc/yc: (16,) canonical limbs."""
+    size = (num_bits + 7) // 8
+    return jnp.concatenate(
+        [limbs_to_bytes_le(xc, size), limbs_to_bytes_le(yc, size)], axis=-1
+    )

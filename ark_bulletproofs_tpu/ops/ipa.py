@@ -303,8 +303,9 @@ def _round_step(spec, fr: df.FieldSpec, c: int, do_fold: bool,
     pts = dpj.to_jacobian(
         spec, msm2.msm2_impl(spec, c, X, Y, inf, rows, bm)
     )
+    nc = len(pts)  # 3 SW Jacobian / 4 TE extended coords
     fetch = jnp.concatenate(
-        [jnp.stack(pts).reshape(6, N_LIMBS), cq], axis=0
+        [jnp.stack(pts).reshape(2 * nc, N_LIMBS), cq], axis=0
     )
     return a, b, gm, hm, fetch
 
@@ -356,9 +357,10 @@ def _round_step_batch(spec, fr: df.FieldSpec, c: int, do_fold: bool,
     pts = dpj.to_jacobian(
         spec, msm2.msm2_impl(spec, c, X, Y, inf, scal, bm_full)
     )
+    nc = len(pts)  # 3 SW Jacobian / 4 TE extended coords
     fetch = jnp.concatenate(
         [
-            jnp.stack(pts).reshape(6 * P, N_LIMBS),
+            jnp.stack(pts).reshape(2 * nc * P, N_LIMBS),
             cq.reshape(2 * P, N_LIMBS),
         ],
         axis=0,
@@ -384,17 +386,22 @@ def _round_step_batch(spec, fr: df.FieldSpec, c: int, do_fold: bool,
 
 
 def _q_doubles(spec, qx, qy):
-    """(256, 16) x3 Jacobian coords of 2^i * Q — computed ONCE per proof
+    """(256, 16) xNC model coords of 2^i * Q — computed ONCE per proof
     (a 256-step scan) so every round's k*Q becomes a masked 8-step tree
     reduction instead of its own 256-step double-and-add (TPU loop
-    iterations cost ~100 us each; the scan was 35 ms/round)."""
-    qj = (qx[None], qy[None], df.mont_one(spec.fq, (1,)))
+    iterations cost ~100 us each; the scan was 35 ms/round). NC = 3
+    SW Jacobian / 4 TE extended."""
+    if dc.is_te(spec):
+        t = df.mont_mul(spec.fq, qx, qy)
+        qj = (qx[None], qy[None], t[None], df.mont_one(spec.fq, (1,)))
+    else:
+        qj = (qx[None], qy[None], df.mont_one(spec.fq, (1,)))
 
     def step(P, _):
         return dc.double(spec, P), tuple(c[0] for c in P)
 
     _, pows = jax.lax.scan(step, qj, None, length=256)
-    return pows  # tuple of 3 arrays (256, 16)
+    return pows  # tuple of NC arrays (256, 16)
 
 
 def _mul_point_dev(spec, p2, k):
@@ -425,15 +432,70 @@ def _mul_point_dev(spec, p2, k):
     return tuple(c[:, 0] for c in acc)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _rounds_all_fs(spec, fr: df.FieldSpec, c: int, lg_n: int,
-                   fr_bits: int, use_v2: bool,
-                   X, Y, inf, a, b, gm, hm, one_q, qx, qy, st, pos, pb):
-    """All lg_n IPA rounds + on-chip Fiat-Shamir in one program.
+_q_doubles_jit = jax.jit(_q_doubles, static_argnums=(0,))
 
-    Returns (LRx, LRy (lg_n, 2, 16) canonical affine coords,
-    LRinf (lg_n, 2), us (lg_n, 16) Montgomery challenges, a0, b0
-    (16,) Montgomery, st, pos, pb final STROBE state, ok)."""
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _shrink_fs_dev(spec, fr: df.FieldSpec, T: int, X, Y, inf, gm, hm):
+    """On-device segmented table shrink for the FS prover.
+
+    After r = lg(T) rounds the live witness is cur = N/T wide but the
+    fold weights still span all N original indices; materialize the
+    virtual folded generators G'_j = sum_t gm[j + t*cur] * G[j + t*cur]
+    (and H') as ONE batched base_map v2 MSM (2*cur sets of T terms) +
+    a vmapped unrolled-pow batch inversion — all device-resident, so
+    chaining segments costs zero host syncs. Recovers the reference's
+    physical per-round fold (inner_product_proof.rs:143-155, 219-225)
+    once per segment instead of every round. Returns the folded
+    (2*cur, 16) affine table (X', Y', inf')."""
+    from . import fs
+    from . import msm2
+
+    fq = spec.fq
+    N = gm.shape[0]
+    cur = N // T
+    gm_r = jnp.transpose(gm.reshape(T, cur, N_LIMBS), (1, 0, 2))
+    hm_r = jnp.transpose(hm.reshape(T, cur, N_LIMBS), (1, 0, 2))
+    scal = df.from_mont_fast(
+        fr, jnp.concatenate([gm_r, hm_r], axis=0)
+    )  # (2*cur, T) canonical
+    base = (
+        jnp.arange(cur, dtype=jnp.int32)[:, None]
+        + jnp.arange(T, dtype=jnp.int32)[None, :] * cur
+    )
+    bm = jnp.concatenate([base, base + N], axis=0)  # (2*cur, T)
+    c = msm2.window_bits(T)
+    out = msm2.msm2_impl(spec, c, X, Y, inf, scal, bm)  # model-native
+    if dc.is_te(spec):
+        z = out[3]
+        xn, yn = out[0], out[1]
+    else:  # RCB projective (X : Y : Z), affine = (X/Z, Y/Z)
+        z = out[2]
+        xn, yn = out[0], out[1]
+    zi = fs.mont_pow_pm2.__wrapped__(fq, z)
+    x_a = df.mont_mul(fq, xn, zi)
+    y_a = df.mont_mul(fq, yn, zi)
+    inf2 = df.is_zero(z)
+    zero = jnp.zeros_like(x_a)
+    return (
+        df.select(inf2, zero, x_a),
+        df.select(inf2, zero, y_a),
+        inf2,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _rounds_fs_seg(spec, fr: df.FieldSpec, c: int, rounds: int,
+                   fr_bits: int, use_v2: bool,
+                   X, Y, inf, a, b, gm, hm, one_q, p2, st, pos, pb):
+    """`rounds` IPA rounds + on-chip Fiat-Shamir at the CURRENT width
+    (a.shape[0]) in one program — the per-segment core of the FS
+    prover (see ipa_prove_fs; one segment covers the whole proof when
+    no shrink applies).
+
+    Returns (a, b, gm, hm, st, pos, pb, LRx, LRy (rounds, 2, 16)
+    canonical affine coords, LRinf (rounds, 2), us (rounds, 16)
+    Montgomery challenges, ok)."""
     from . import fs
     from . import msm2
     from . import proj as dpj
@@ -442,13 +504,13 @@ def _rounds_all_fs(spec, fr: df.FieldSpec, c: int, lg_n: int,
     N = a.shape[0]
     # static byte sizes derive from the fq modulus bit length
     fq_bits = fq.p.bit_length()
+    lg_n = rounds
 
     LRx = jnp.zeros((lg_n, 2, N_LIMBS), U32)
     LRy = jnp.zeros((lg_n, 2, N_LIMBS), U32)
     LRinf = jnp.zeros((lg_n, 2), jnp.bool_)
     us = jnp.zeros((lg_n, N_LIMBS), U32)
     ok0 = jnp.bool_(True)
-    p2 = _q_doubles(spec, qx, qy)  # once per proof, shared by rounds
 
     def body(r, carry):
         a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
@@ -467,14 +529,30 @@ def _rounds_all_fs(spec, fr: df.FieldSpec, c: int, lg_n: int,
         qj = _mul_point_dev(spec, p2, cq)
         S = dc.add(spec, pts, qj)
         s_inf = dc.is_zero(spec, S)
-        zi = fs.mont_pow_pm2.__wrapped__(fq, S[2])
-        zi2 = df.mont_sqr(fq, zi)
-        xa = df.mont_mul(fq, S[0], zi2)
-        ya = df.mont_mul(fq, S[1], df.mont_mul(fq, zi2, zi))
+        if dc.is_te(spec):
+            # extended -> affine: x = X/Z, y = Y/Z
+            zi = fs.mont_pow_pm2.__wrapped__(fq, S[3])
+            xa = df.mont_mul(fq, S[0], zi)
+            ya = df.mont_mul(fq, S[1], zi)
+        else:
+            # Jacobian -> affine: x = X/Z^2, y = Y/Z^3
+            zi = fs.mont_pow_pm2.__wrapped__(fq, S[2])
+            zi2 = df.mont_sqr(fq, zi)
+            xa = df.mont_mul(fq, S[0], zi2)
+            ya = df.mont_mul(fq, S[1], df.mont_mul(fq, zi2, zi))
         xc = df.from_mont(fq, xa)
         yc = df.from_mont(fq, ya)
-        Lb = fs.point_uncompressed_bytes(fq, fq_bits, xc[0], yc[0], s_inf[0])
-        Rb = fs.point_uncompressed_bytes(fq, fq_bits, xc[1], yc[1], s_inf[1])
+        if dc.is_te(spec):
+            # identity encodes naturally as (0, 1); no flag bits
+            Lb = fs.te_point_uncompressed_bytes(fq, fq_bits, xc[0], yc[0])
+            Rb = fs.te_point_uncompressed_bytes(fq, fq_bits, xc[1], yc[1])
+        else:
+            Lb = fs.point_uncompressed_bytes(
+                fq, fq_bits, xc[0], yc[0], s_inf[0]
+            )
+            Rb = fs.point_uncompressed_bytes(
+                fq, fq_bits, xc[1], yc[1], s_inf[1]
+            )
         st, pos, pb = fs.append_message(st, pos, pb, b"L", Lb)
         st, pos, pb = fs.append_message(st, pos, pb, b"R", Rb)
         st, pos, pb, seed = fs.challenge_bytes(st, pos, pb, b"u", 32)
@@ -488,16 +566,258 @@ def _rounds_all_fs(spec, fr: df.FieldSpec, c: int, lg_n: int,
         return (a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok & ok_u)
 
     carry = (a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok0)
-    carry = jax.lax.fori_loop(0, lg_n, body, carry)
-    a, b, gm, hm, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
-    # ONE flat u32 output so the host needs a single fetch (ten
-    # separate np.asarray calls are ten blocking tunnel RPCs).
+    return jax.lax.fori_loop(0, lg_n, body, carry)
+
+
+@jax.jit
+def _fs_pack(segs, a, b, st, pos, pb, ok):
+    """Concat per-segment outputs into ONE flat u32 vector so the host
+    needs a single fetch (ten separate np.asarray calls are ten
+    blocking tunnel RPCs)."""
+    LRx = jnp.concatenate([s[0] for s in segs], axis=0)
+    LRy = jnp.concatenate([s[1] for s in segs], axis=0)
+    LRinf = jnp.concatenate([s[2] for s in segs], axis=0)
+    us = jnp.concatenate([s[3] for s in segs], axis=0)
     return jnp.concatenate([
         LRx.reshape(-1), LRy.reshape(-1),
         LRinf.astype(U32).reshape(-1), us.reshape(-1),
         a[0], b[0], st,
         jnp.stack([pos, pb, ok.astype(U32)]),
     ])
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _rounds_fs_batch(spec, fr: df.FieldSpec, c: int, lg_n: int,
+                     fr_bits: int, use_v2: bool,
+                     X, Y, inf, A, Bv, GM, HM, QW, p2, st, pos, pb):
+    """All lg_n rounds for P LOCKSTEP proofs with on-chip Fiat-Shamir.
+
+    st: (P, 200) per-proof STROBE states with SHARED scalar pos/pb (the
+    lockstep transcripts perform identical operation sequences, so byte
+    positions agree across the batch — ops/fs.py primitives are batch-
+    polymorphic over the state's leading dims). Each round runs ONE
+    batched 2P-set compact MSM + the vectorized byte layer; the whole
+    prover is a single dispatch + a single fetch for all P proofs.
+    p2: 2^i * base_B table — the per-proof Q_b = w_b * base_B enters
+    through the cq = c_{L/R} * w_b scalars (QW), so one shared table
+    serves the batch. Reference: src/inner_product_proof.rs:164-231,
+    src/r1cs/prover.rs:777-779."""
+    from . import fs
+    from . import msm2
+    from . import proj as dpj
+
+    fq = spec.fq
+    P, N = A.shape[0], A.shape[1]
+    fq_bits = fq.p.bit_length()
+
+    LRx = jnp.zeros((lg_n, P, 2, N_LIMBS), U32)
+    LRy = jnp.zeros((lg_n, P, 2, N_LIMBS), U32)
+    LRinf = jnp.zeros((lg_n, P, 2), jnp.bool_)
+    us = jnp.zeros((lg_n, P, N_LIMBS), U32)
+    ok0 = jnp.ones((P,), jnp.bool_)
+
+    def body(r, carry):
+        A, Bv, GM, HM, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
+        cur = jnp.uint32(N) >> r.astype(U32)
+        m = cur >> 1
+        curm1 = cur - 1
+        rows, bm, cq = _round_scalars_compact_batch.__wrapped__(
+            fr, A, Bv, GM, HM, QW, m, curm1
+        )
+        scal = rows.reshape(2 * P, N, N_LIMBS)
+        bm_full = jnp.tile(bm, (P, 1))
+        if use_v2:
+            pts = dpj.to_jacobian(
+                spec, msm2.msm2_impl(spec, c, X, Y, inf, scal, bm_full)
+            )
+        else:
+            pts = dmsm.msm_impl(spec, c, X, Y, inf, scal,
+                                base_map=bm_full)
+        qj = _mul_point_dev(spec, p2, cq.reshape(2 * P, N_LIMBS))
+        S = dc.add(spec, pts, qj)  # (2P,) points
+        s_inf = dc.is_zero(spec, S).reshape(P, 2)
+        if dc.is_te(spec):
+            zi = fs.mont_pow_pm2.__wrapped__(fq, S[3])
+            xa = df.mont_mul(fq, S[0], zi)
+            ya = df.mont_mul(fq, S[1], zi)
+        else:
+            zi = fs.mont_pow_pm2.__wrapped__(fq, S[2])
+            zi2 = df.mont_sqr(fq, zi)
+            xa = df.mont_mul(fq, S[0], zi2)
+            ya = df.mont_mul(fq, S[1], df.mont_mul(fq, zi2, zi))
+        xc = df.from_mont(fq, xa).reshape(P, 2, N_LIMBS)
+        yc = df.from_mont(fq, ya).reshape(P, 2, N_LIMBS)
+        if dc.is_te(spec):
+            Lb = fs.te_point_uncompressed_bytes(
+                fq, fq_bits, xc[:, 0], yc[:, 0]
+            )
+            Rb = fs.te_point_uncompressed_bytes(
+                fq, fq_bits, xc[:, 1], yc[:, 1]
+            )
+        else:
+            Lb = fs.point_uncompressed_bytes(
+                fq, fq_bits, xc[:, 0], yc[:, 0], s_inf[:, 0]
+            )
+            Rb = fs.point_uncompressed_bytes(
+                fq, fq_bits, xc[:, 1], yc[:, 1], s_inf[:, 1]
+            )
+        st, pos, pb = fs.append_message(st, pos, pb, b"L", Lb)
+        st, pos, pb = fs.append_message(st, pos, pb, b"R", Rb)
+        st, pos, pb, seed = fs.challenge_bytes(st, pos, pb, b"u", 32)
+        u, ok_u = fs.fr_rand_from_seed(fr, fr_bits, seed)  # (P, 16)
+        ui = fs.mont_pow_pm2.__wrapped__(fr, u)
+        A, Bv, GM, HM = _fold_batch.__wrapped__(
+            fr, A, Bv, GM, HM, u, ui, m, curm1
+        )
+        LRx = LRx.at[r].set(xc)
+        LRy = LRy.at[r].set(yc)
+        LRinf = LRinf.at[r].set(s_inf)
+        us = us.at[r].set(u)
+        return (A, Bv, GM, HM, st, pos, pb, LRx, LRy, LRinf, us,
+                ok & ok_u)
+
+    carry = (A, Bv, GM, HM, st, pos, pb, LRx, LRy, LRinf, us, ok0)
+    carry = jax.lax.fori_loop(0, lg_n, body, carry)
+    A, Bv, GM, HM, st, pos, pb, LRx, LRy, LRinf, us, ok = carry
+    # ONE flat fetch for the whole batch
+    return jnp.concatenate([
+        LRx.reshape(-1), LRy.reshape(-1),
+        LRinf.astype(U32).reshape(-1), us.reshape(-1),
+        A[:, 0].reshape(-1), Bv[:, 0].reshape(-1), st.reshape(-1),
+        jnp.stack([pos, pb]), ok.astype(U32),
+    ])
+
+
+def ipa_prove_fs_batch(transcripts, curve, base_B, ws,
+                       G_factors_list, H_factors_list,
+                       G_vec, H_vec, a_list, b_list):
+    """P lockstep IPA proofs with on-chip Fiat-Shamir: one dispatch +
+    one fetch for the WHOLE batch (the per-round lockstep prover still
+    pays 2 host RPCs per round). Returns [(L_vec, R_vec, a0, b0)] or
+    None when unsupported (divergent transcript positions across the
+    batch, or an Fp::rand rejection caught by host replay); callers
+    fall back to the per-round IpaBatchProver."""
+    from .limbs import int_to_limbs, limbs_to_ints
+
+    spec = dc.spec_for(curve)
+    fr = df.spec_for(curve.fr)
+    N = len(G_vec)
+    P = len(a_list)
+    lg_n = N.bit_length() - 1
+    p, R = curve.fr.p, curve.fr.R
+    fqp = curve.fq.p
+
+    strobes = [t._strobe for t in transcripts]
+    if any(
+        s.pos != strobes[0].pos or s.pos_begin != strobes[0].pos_begin
+        for s in strobes
+    ):
+        return None  # not lockstep; shared-pos invariant would break
+
+    from . import msm2
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_v2 = on_tpu and N >= 16
+    c = max(4, msm2.window_bits(N) - 2) if use_v2 else dmsm._window_bits(N)
+
+    from .verify import _IPA_VERIFY_CACHE
+
+    tkey = ("fs-table", curve.name, N,
+            G_vec[0], G_vec[-1], H_vec[0], H_vec[-1])
+    table = _IPA_VERIFY_CACHE.get(tkey)
+    if table is None:
+        X, Y, inf = dc.affine_to_device(curve, list(G_vec) + list(H_vec))
+        table = (
+            jax.device_put(X), jax.device_put(Y),
+            jax.device_put(np.asarray(inf)),
+        )
+        _IPA_VERIFY_CACHE[tkey] = table
+    X, Y, inf = table
+
+    def mont2(rows):
+        flat = [x % p * R % p for row in rows for x in row]
+        return jax.device_put(ints_to_limbs(flat).reshape(P, N, N_LIMBS))
+
+    A = mont2(a_list)
+    Bv = mont2(b_list)
+    GM = mont2(G_factors_list)
+    HM = mont2(H_factors_list)
+    QW = jax.device_put(ints_to_limbs([w % p * R % p for w in ws]))
+    qx = jnp.asarray(int_to_limbs(base_B[0] * curve.fq.R % fqp))
+    qy = jnp.asarray(int_to_limbs(base_B[1] * curve.fq.R % fqp))
+    p2 = _q_doubles_jit(spec, qx, qy)
+
+    st = jnp.asarray(np.stack([
+        np.frombuffer(bytes(s.state), np.uint8).astype(np.uint32)
+        for s in strobes
+    ]))
+    pos = jnp.uint32(strobes[0].pos)
+    pb = jnp.uint32(strobes[0].pos_begin)
+
+    out = _rounds_fs_batch(
+        spec, fr, c, lg_n, curve.fr.num_bits, use_v2,
+        X, Y, inf, A, Bv, GM, HM, QW, p2, st, pos, pb,
+    )
+    flat = np.asarray(out)  # ONE fetch for all P proofs
+    k = lg_n * P * 2 * N_LIMBS
+    LRx = flat[:k].reshape(lg_n, P, 2, N_LIMBS)
+    LRy = flat[k:2 * k].reshape(lg_n, P, 2, N_LIMBS)
+    off = 2 * k
+    LRinf = flat[off:off + lg_n * P * 2].reshape(lg_n, P, 2).astype(bool)
+    off += lg_n * P * 2
+    us = flat[off:off + lg_n * P * N_LIMBS].reshape(lg_n, P, N_LIMBS)
+    off += lg_n * P * N_LIMBS
+    a0_l = flat[off:off + P * N_LIMBS].reshape(P, N_LIMBS)
+    off += P * N_LIMBS
+    b0_l = flat[off:off + P * N_LIMBS].reshape(P, N_LIMBS)
+    off += P * N_LIMBS
+    st_f = flat[off:off + P * 200].reshape(P, 200)
+    off += P * 200
+    pos_f, pb_f = flat[off], flat[off + 1]
+    ok = flat[off + 2:off + 2 + P]
+
+    if not ok.all():
+        return None  # astronomically rare Fp::rand rejection
+
+    from ..transcript import protocol as _protocol
+
+    te = dc.is_te(spec)
+    Rinv = curve.fr.R_inv
+    results = []
+    snapshots = [s.clone() for s in strobes]
+    for bi in range(P):
+        L_vec, R_vec = [], []
+        for r in range(lg_n):
+            for side, vec in ((0, L_vec), (1, R_vec)):
+                if LRinf[r, bi, side] and not te:
+                    vec.append(None)
+                else:
+                    vec.append((
+                        limbs_to_ints(LRx[r, bi, side])[0],
+                        limbs_to_ints(LRy[r, bi, side])[0],
+                    ))
+        t = transcripts[bi]
+        for r in range(lg_n):
+            _protocol.append_point(t, curve, b"L", L_vec[r])
+            _protocol.append_point(t, curve, b"R", R_vec[r])
+            u_host = _protocol.challenge_scalar(t, curve, b"u")
+            u_dev = limbs_to_ints(us[r, bi])[0] * Rinv % p
+            if u_host != u_dev:
+                # restore every pre-replay transcript; caller re-proves
+                # on the per-round lockstep path
+                for tj, snap in zip(transcripts, snapshots):
+                    tj._strobe = snap
+                return None
+        sb = strobes[bi]
+        if (bytes(sb.state) != bytes(st_f[bi].astype(np.uint8))
+                or sb.pos != int(pos_f) or sb.pos_begin != int(pb_f)):
+            raise RuntimeError(
+                "device Fiat-Shamir state diverged from host replay"
+            )
+        a0 = limbs_to_ints(a0_l[bi])[0] * Rinv % p
+        b0 = limbs_to_ints(b0_l[bi])[0] * Rinv % p
+        results.append((L_vec, R_vec, a0, b0))
+    return results
 
 
 def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
@@ -514,8 +834,6 @@ def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
     from . import msm2
 
     spec = dc.spec_for(curve)
-    if dc.is_te(spec):
-        return None
     fr = df.spec_for(curve.fr)
     N = len(G_vec)
     lg_n = N.bit_length() - 1
@@ -568,10 +886,52 @@ def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
     pos = jnp.uint32(strobe.pos)
     pb = jnp.uint32(strobe.pos_begin)
 
-    out = _rounds_all_fs(
-        spec, fr, c, lg_n, curve.fr.num_bits, use_v2,
-        X, Y, inf, a, b, gm, hm, one_q, qx, qy, st, pos, pb,
-    )
+    # Segment plan: run `seg` rounds at full width, then materialize the
+    # folded table at width/2^seg ON DEVICE (_shrink_fs_dev) and repeat.
+    # Every remaining round's compact MSM shrinks from `width` terms to
+    # `cur` terms; the segments chain as async device programs with zero
+    # host syncs in between, so the shrink that lost out-of-program (per
+    # round dispatch/RPC overhead, round 4) is free here. Widths at or
+    # below ABTPU_IPA_FS_SEG_MIN run out in one final segment (rounds
+    # there are cheap; more segments would only add compiles).
+    seg = int(os.environ.get("ABTPU_IPA_FS_SEG", "4"))
+    min_w = int(os.environ.get("ABTPU_IPA_FS_SEG_MIN", "8192"))
+    p2 = _q_doubles_jit(spec, qx, qy)  # once per proof, all segments
+
+    segs = []
+    ok_all = None
+    width = N
+    r_done = 0
+    while r_done < lg_n:
+        remaining = lg_n - r_done
+        do_shrink = (
+            seg > 0 and width > min_w and remaining > seg and use_v2
+            and (width >> seg) >= 16
+        )
+        r = seg if do_shrink else remaining
+        v2_w = use_v2 and width >= 128
+        c_w = (
+            max(4, msm2.window_bits(width) - 2)
+            if v2_w else dmsm._window_bits(width)
+        )
+        res = _rounds_fs_seg(
+            spec, fr, c_w, r, curve.fr.num_bits, v2_w,
+            X, Y, inf, a, b, gm, hm, one_q, p2, st, pos, pb,
+        )
+        a, b, gm, hm, st, pos, pb = res[:7]
+        segs.append(res[7:11])
+        ok_all = res[11] if ok_all is None else ok_all & res[11]
+        r_done += r
+        if r_done < lg_n and do_shrink:
+            cur = width >> seg
+            X, Y, inf = _shrink_fs_dev(spec, fr, 1 << seg, X, Y, inf,
+                                       gm, hm)
+            a, b = a[:cur], b[:cur]
+            gm = df.mont_one(fr, (cur,))
+            hm = df.mont_one(fr, (cur,))
+            width = cur
+
+    out = _fs_pack(segs, a, b, st, pos, pb, ok_all)
     flat = np.asarray(out)  # the ONE device->host fetch of the proof
     k = lg_n * 2 * N_LIMBS
     LRx = flat[:k].reshape(lg_n, 2, N_LIMBS)
@@ -593,8 +953,8 @@ def ipa_prove_fs(transcript, curve, Q, G_factors, H_factors,
     L_vec, R_vec = [], []
     for r in range(lg_n):
         for side, vec in ((0, L_vec), (1, R_vec)):
-            if LRinf[r, side]:
-                vec.append(None)
+            if LRinf[r, side] and not dc.is_te(spec):
+                vec.append(None)  # SW identity (TE: (0, 1) is ordinary)
             else:
                 vec.append((
                     limbs_to_ints(LRx[r, side])[0],
@@ -692,7 +1052,7 @@ class IpaDeviceProver:
         self._fused = (
             not self._sharded
             and jax.devices()[0].platform != "cpu"
-            and isinstance(self.spec, dc.CurveSpec)
+            and isinstance(self.spec, (dc.CurveSpec, dc.TECurveSpec))
             and N >= 128
         )
 
@@ -1012,7 +1372,7 @@ class IpaBatchProver:
         self._fused = (
             self._compact
             and jax.devices()[0].platform != "cpu"
-            and isinstance(self.spec, dc.CurveSpec)
+            and isinstance(self.spec, (dc.CurveSpec, dc.TECurveSpec))
             and N >= 16
         )
 

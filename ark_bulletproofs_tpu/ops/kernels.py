@@ -655,6 +655,51 @@ def _k_rcb_double(cs: CurveSpec, X1, Y1, Z1):
     return X3, Y3, Z3
 
 
+def _k_te_add(ts, P, Q):
+    """Unified twisted-Edwards EXTENDED addition (Hisil-Wong-Carter-
+    Dawson) on 4-coord (X:Y:T:Z) points — mirrors the host model
+    curves/models.py::TECurve.proj_add and the XLA path
+    ops/curve.py::_te_add_core operation-for-operation. Unified: one
+    formula covers doubling and the identity (0:1:0:1), no branches
+    (complete for the repo's curve25519 parameters, same trust base as
+    the host law). Q[3] may be None for a known Z2 = 1 (mixed add)."""
+    fs = ts.fq
+    X1, Y1, T1, Z1 = P
+    X2, Y2, T2, Z2 = Q
+    mul, add, sub = _k_mont_mul, _k_add, _k_sub
+    A = mul(fs, X1, X2)
+    B = mul(fs, Y1, Y2)
+    C = _k_mul_const(fs, mul(fs, T1, T2), ts.d_mont_limbs, None)
+    D = mul(fs, Z1, Z2) if Z2 is not None else Z1
+    E = sub(fs, mul(fs, add(fs, X1, Y1), add(fs, X2, Y2)), add(fs, A, B))
+    F = sub(fs, D, C)
+    G = add(fs, D, C)
+    H = sub(fs, B, _k_mul_const(fs, A, ts.a_mont_limbs, None))
+    return (
+        mul(fs, E, F),  # X3
+        mul(fs, G, H),  # Y3
+        mul(fs, E, H),  # T3
+        mul(fs, F, G),  # Z3
+    )
+
+
+def _k_te_madd(ts, P, Qx, Qy, q_inf):
+    """Unified TE extended + affine (Z2 = 1, T2 = x*y in-kernel — 10
+    full muls vs the SW RCB madd's 13); q_inf lanes pass P through
+    (the packed-affine y = 0 encoding marks identity rows; a y = 0
+    point has order 4 and cannot appear in the prime-order subgroup)."""
+    fs = ts.fq
+    T2 = _k_mont_mul(fs, Qx, Qy)
+    R = _k_te_add(ts, P, (Qx, Qy, T2, None))
+    return tuple(_k_select(q_inf, a, b) for a, b in zip(P, R))
+
+
+def _k_te_double(ts, P):
+    """TE doubling via the unified addition (kept structurally identical
+    to the host model's proj_double = proj_add(P, P))."""
+    return _k_te_add(ts, P, P)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def rcb_add_tiled(cs: CurveSpec, X1, Y1, Z1, X2, Y2, Z2):
     """Pallas complete projective addition on (m, 16) arrays (RCB)."""
@@ -702,4 +747,133 @@ def rcb_double_tiled(cs: CurveSpec, X1, Y1, Z1):
         ),
         interpret=_interpret(),
     )(X1.T, Y1.T, Z1.T)
+    return tuple(o.T for o in outs)
+
+
+# ---------------------------------------------------------------------
+# Twisted-Edwards tiled kernels (extended coords, unified HWCD)
+# ---------------------------------------------------------------------
+# Same tiled plumbing as the SW kernels above, 4 coords per point. These
+# power the TE dispatch of ops/curve.py / ops/proj.py (the previous TE
+# path ran only the field muls through Pallas — mont_mul_fast batches —
+# with the group-law structure as XLA elementwise ops, measured ~11x
+# slower end-to-end on v1 MSM scans).
+
+
+def _te_call(kern, n_in, arrs, m):
+    return tuple(
+        o.T
+        for o in pl.pallas_call(
+            kern,
+            grid=(m // BLOCK,),
+            in_specs=_grid_specs(n_in),
+            out_specs=tuple(_grid_specs(4)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((NL, m), jnp.uint32) for _ in range(4)
+            ),
+            interpret=_interpret(),
+        )(*(a.T for a in arrs))
+    )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def te_add_tiled(ts, X1, Y1, T1, Z1, X2, Y2, T2, Z2):
+    """Pallas unified TE extended addition on (m, 16) arrays."""
+
+    def kern(x1, y1, t1, z1, x2, y2, t2, z2, ox, oy, ot, oz):
+        P = (_read(x1), _read(y1), _read(t1), _read(z1))
+        Q = (_read(x2), _read(y2), _read(t2), _read(z2))
+        for ref, c in zip((ox, oy, ot, oz), _k_te_add(ts, P, Q)):
+            _write(ref, c)
+
+    return _te_call(kern, 8, (X1, Y1, T1, Z1, X2, Y2, T2, Z2),
+                    X1.shape[0])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def te_double_tiled(ts, X1, Y1, T1, Z1):
+    """Pallas unified TE extended doubling on (m, 16) arrays."""
+
+    def kern(x1, y1, t1, z1, ox, oy, ot, oz):
+        P = (_read(x1), _read(y1), _read(t1), _read(z1))
+        for ref, c in zip((ox, oy, ot, oz), _k_te_double(ts, P)):
+            _write(ref, c)
+
+    return _te_call(kern, 4, (X1, Y1, T1, Z1), X1.shape[0])
+
+
+@partial(jax.jit, static_argnums=(0, 9))
+def te_double_k_add_tiled(ts, X1, Y1, T1, Z1, X2, Y2, T2, Z2, k: int):
+    """(2^k * P) + Q fused into one TE kernel launch (Horner steps)."""
+
+    def kern(x1, y1, t1, z1, x2, y2, t2, z2, ox, oy, ot, oz):
+        P = (_read(x1), _read(y1), _read(t1), _read(z1))
+        for _ in range(k):
+            P = _k_te_double(ts, P)
+        Q = (_read(x2), _read(y2), _read(t2), _read(z2))
+        for ref, c in zip((ox, oy, ot, oz), _k_te_add(ts, P, Q)):
+            _write(ref, c)
+
+    return _te_call(kern, 8, (X1, Y1, T1, Z1, X2, Y2, T2, Z2),
+                    X1.shape[0])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def te_madd_tiled(ts, X1, Y1, T1, Z1, Qx, Qy, q_inf):
+    """Pallas unified TE extended + affine on (m, 16) arrays (+ mask)."""
+    m = X1.shape[0]
+
+    def kern(x1, y1, t1, z1, qx_ref, qy_ref, qi_ref, ox, oy, ot, oz):
+        P = (_read(x1), _read(y1), _read(t1), _read(z1))
+        qi = qi_ref[:][0] > 0
+        for ref, c in zip(
+            (ox, oy, ot, oz),
+            _k_te_madd(ts, P, _read(qx_ref), _read(qy_ref), qi),
+        ):
+            _write(ref, c)
+
+    qi2 = q_inf.astype(jnp.uint32)[None, :]  # (1, m)
+    qi_spec = pl.BlockSpec(
+        (1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(m // BLOCK,),
+        in_specs=_grid_specs(6) + [qi_spec],
+        out_specs=tuple(_grid_specs(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NL, m), jnp.uint32) for _ in range(4)
+        ),
+        interpret=_interpret(),
+    )(X1.T, Y1.T, T1.T, Z1.T, Qx.T, Qy.T, qi2)
+    return tuple(o.T for o in outs)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def rcb_double_k_add_tiled(cs: CurveSpec, X1, Y1, Z1, X2, Y2, Z2,
+                           k: int):
+    """(2^k * P) + Q fused into ONE launch, RCB complete projective
+    coords (the v2 MSM's window-recombination Horner step)."""
+    m = X1.shape[0]
+
+    def kern(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        P = (_read(x1), _read(y1), _read(z1))
+        for _ in range(k):
+            P = _k_rcb_double(cs, *P)
+        Q = (_read(x2), _read(y2), _read(z2))
+        X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
+        _write(ox, X3)
+        _write(oy, Y3)
+        _write(oz, Z3)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(m // BLOCK,),
+        in_specs=_grid_specs(6),
+        out_specs=tuple(_grid_specs(3)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((NL, m), jnp.uint32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(X1.T, Y1.T, Z1.T, X2.T, Y2.T, Z2.T)
     return tuple(o.T for o in outs)

@@ -34,12 +34,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .curve import CurveSpec
+from .curve import CurveSpec, TECurveSpec
 from .kernels import (
     _interpret,
     _k_rcb_add,
     _k_rcb_madd,
     _k_rcb_double,
+    _k_te_add,
+    _k_te_double,
+    _k_te_madd,
 )
 from .limbs import N_LIMBS
 
@@ -52,6 +55,36 @@ BLOCK = 1024
 # lanes; v5e has 128 MiB of VMEM, so raise the limit and use wide blocks
 # (fixed per-invocation latency amortizes over ~8x more lanes).
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
+
+
+# --- curve-model dispatch ------------------------------------------------
+#
+# The kernels are generic over the point representation: SW curves run
+# 3-coord complete RCB projective (X:Y:Z), TE curves run 4-coord unified
+# HWCD extended (X:Y:T:Z) — same bodies as the host law, so bit-parity
+# with the host Pippenger is structural. All per-coord plumbing below is
+# arity-driven by _nc().
+
+
+def _nc(cs) -> int:
+    return 4 if isinstance(cs, TECurveSpec) else 3
+
+
+def _g_add(cs, P, Q):
+    if isinstance(cs, TECurveSpec):
+        return _k_te_add(cs, P, Q)
+    return _k_rcb_add(cs, P, Q)
+
+
+def _g_madd(cs, P, qx, qy, qi):
+    if isinstance(cs, TECurveSpec):
+        return _k_te_madd(cs, P, qx, qy, qi)
+    return _k_rcb_madd(cs, P, qx, qy, qi)
+
+
+def _ident_kinds(cs):
+    """Per-coord identity encoding: SW (0 : 1 : 0), TE (0 : 1 : 0 : 1)."""
+    return ("z", "o", "z", "o")[: _nc(cs)]
 
 
 def _rd_s(ref):
@@ -71,8 +104,9 @@ def _wr_s(ref, limbs):
     ref[:] = jnp.stack(limbs)
 
 
-def _rd_rows(x_ref, y_ref, z_ref, j):
-    """Row j of three (rows, NL, block) input refs as per-limb vectors.
+def _rd_rows(refs, j):
+    """Row j of the per-coord (rows, NL, block) input refs as per-limb
+    vectors.
 
     Direct (block,) loads per limb, uniform across all kernels: the
     2-D-slice-then-index form (`x_ref[pl.ds(j,1)][0]` then `x[i]`)
@@ -81,24 +115,22 @@ def _rd_rows(x_ref, y_ref, z_ref, j):
     (layout.h:320, isolated 2026-08-19 on the madd path), and per-row
     loads compile ~40% faster besides — so every kernel uses them.
     """
-    return (
-        [x_ref[j, i] for i in range(NL)],
-        [y_ref[j, i] for i in range(NL)],
-        [z_ref[j, i] for i in range(NL)],
-    )
+    return tuple([r[j, i] for i in range(NL)] for r in refs)
 
 
-def _init_identity(cs, ax, ay, az):
-    """Scratch accumulators <- projective identity (0 : 1 : 0)."""
-    ax[:] = jnp.zeros_like(ax)
-    ay[:] = jnp.stack(
-        [jnp.full_like(ay[0], int(v)) for v in cs.fq.r_limbs]
-    )
-    az[:] = jnp.zeros_like(az)
+def _init_identity(cs, accs):
+    """Scratch accumulators <- the model's identity (_ident_kinds)."""
+    for ref, kind in zip(accs, _ident_kinds(cs)):
+        if kind == "z":
+            ref[:] = jnp.zeros_like(ref)
+        else:
+            ref[:] = jnp.stack(
+                [jnp.full_like(ref[0], int(v)) for v in cs.fq.r_limbs]
+            )
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3))
-def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
+def suffix_madd_scan(cs, cXY, block: int = BLOCK,
                      rows: int = 8):
     """Per-column inclusive suffix sums of affine points.
 
@@ -124,6 +156,7 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
     locals[r, :, l] = sum_{r' >= r} P[r', l] (identity-initialized,
     scanned from the last row upward); locals[0] are the column totals.
     """
+    NC = _nc(cs)
     R, nl, L = cXY.shape
     assert nl == NL
     assert L % block == 0 and block % 128 == 0
@@ -131,12 +164,13 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
     assert R % rows == 0
     RB = R // rows
 
-    def kern(xy_ref, lx, ly, lz, ax, ay, az):
+    def kern(xy_ref, *refs):
+        louts, accs = refs[:NC], refs[NC:]
         r = pl.program_id(1)
 
         @pl.when(r == 0)
         def _():
-            _init_identity(cs, ax, ay, az)
+            _init_identity(cs, accs)
 
         # fori_loop so the madd body is compiled ONCE, not `rows` times
         # (unrolled, Mosaic took ~350 s/shape; ~60 s with the loop).
@@ -150,17 +184,15 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
             qi = qy[0]
             for i in range(1, NL):
                 qi = qi | qy[i]
-            X3, Y3, Z3 = _k_rcb_madd(cs, P, qx, qy, qi == 0)
-            lx[pl.ds(j, 1)] = jnp.stack(X3)[None]
-            ly[pl.ds(j, 1)] = jnp.stack(Y3)[None]
-            lz[pl.ds(j, 1)] = jnp.stack(Z3)[None]
-            return (list(X3), list(Y3), list(Z3))
+            P3 = _g_madd(cs, P, qx, qy, qi == 0)
+            for ref, coord in zip(louts, P3):
+                ref[pl.ds(j, 1)] = jnp.stack(coord)[None]
+            return tuple(list(c) for c in P3)
 
-        P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
+        P = tuple(_rd_s(a) for a in accs)
         P = jax.lax.fori_loop(0, rows, body, P)
-        _wr_s(ax, P[0])
-        _wr_s(ay, P[1])
-        _wr_s(az, P[2])
+        for a, c in zip(accs, P):
+            _wr_s(a, c)
 
     spec = pl.BlockSpec(
         (rows, NL, block), lambda i, r: (RB - 1 - r, 0, i),
@@ -170,11 +202,11 @@ def suffix_madd_scan(cs: CurveSpec, cXY, block: int = BLOCK,
         kern,
         grid=(L // block, RB),
         in_specs=[spec],
-        out_specs=(spec, spec, spec),
+        out_specs=tuple([spec] * NC),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((R, NL, L), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((R, NL, L), jnp.uint32) for _ in range(NC)
         ),
-        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * NC,
         compiler_params=_PARAMS,
         interpret=_interpret(),
     )(cXY)
@@ -187,47 +219,50 @@ def _ident_value(cs, block):
     return ([zero] * NL, one, [zero] * NL)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512,
-                    rows: int = 8):
-    """Exclusive suffix sums over rows of projective points, plus totals.
+@partial(jax.jit, static_argnums=(0,), static_argnames=("block", "rows"))
+def suffix_jac_scan(cs, *coords, block: int = 512, rows: int = 8):
+    """Exclusive suffix sums over rows of points, plus totals.
 
-    tX/tY/tZ: (Rb, NL, L). Returns (exclX, exclY, exclZ, totX, totY,
-    totZ): excl[r, :, l] = sum_{r' > r} T[r', l]; tot = inclusive total.
+    coords: NC arrays (Rb, NL, L) (NC = 3 SW projective / 4 TE
+    extended). Returns NC exclusive arrays then NC totals:
+    excl[r, :, l] = sum_{r' > r} T[r', l]; tot = inclusive total.
     `rows` rows per grid invocation, accumulator in registers (fori so
     the add body compiles once).
     """
-    Rb, _, L = tX.shape
+    NC = _nc(cs)
+    assert len(coords) == NC
+    Rb, _, L = coords[0].shape
     assert L % block == 0 and block % 128 == 0
     rows = min(rows, Rb)
     assert Rb % rows == 0
     RB = Rb // rows
 
-    def kern(x_ref, y_ref, z_ref, ex, ey, ez, tx, ty, tz, ax, ay, az):
+    def kern(*refs):
+        ins = refs[:NC]
+        excls = refs[NC:2 * NC]
+        tots = refs[2 * NC:3 * NC]
+        accs = refs[3 * NC:]
         r = pl.program_id(1)
 
         @pl.when(r == 0)
         def _():
-            _init_identity(cs, ax, ay, az)
+            _init_identity(cs, accs)
 
         def body(t, P):
             j = rows - 1 - t
             # exclusive: write the carry BEFORE accumulating this row
-            ex[pl.ds(j, 1)] = jnp.stack(P[0])[None]
-            ey[pl.ds(j, 1)] = jnp.stack(P[1])[None]
-            ez[pl.ds(j, 1)] = jnp.stack(P[2])[None]
-            Q = _rd_rows(x_ref, y_ref, z_ref, j)
-            X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
-            return (list(X3), list(Y3), list(Z3))
+            for ref, coord in zip(excls, P):
+                ref[pl.ds(j, 1)] = jnp.stack(coord)[None]
+            Q = _rd_rows(ins, j)
+            P3 = _g_add(cs, P, Q)
+            return tuple(list(c) for c in P3)
 
-        P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
+        P = tuple(_rd_s(a) for a in accs)
         P = jax.lax.fori_loop(0, rows, body, P)
-        _wr_s(ax, P[0])
-        _wr_s(ay, P[1])
-        _wr_s(az, P[2])
-        tx[:] = ax[:]
-        ty[:] = ay[:]
-        tz[:] = az[:]
+        for a, c in zip(accs, P):
+            _wr_s(a, c)
+        for tref, a in zip(tots, accs):
+            tref[:] = a[:]
 
     spec = pl.BlockSpec(
         (rows, NL, block), lambda i, r: (RB - 1 - r, 0, i),
@@ -239,50 +274,53 @@ def suffix_jac_scan(cs: CurveSpec, tX, tY, tZ, block: int = 512,
     return pl.pallas_call(
         kern,
         grid=(L // block, RB),
-        in_specs=[spec, spec, spec],
-        out_specs=(spec, spec, spec, tot_spec, tot_spec, tot_spec),
+        in_specs=[spec] * NC,
+        out_specs=tuple([spec] * NC + [tot_spec] * NC),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((Rb, NL, L), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((Rb, NL, L), jnp.uint32) for _ in range(NC)
         )
         + tuple(
-            jax.ShapeDtypeStruct((NL, L), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((NL, L), jnp.uint32) for _ in range(NC)
         ),
-        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * NC,
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(tX, tY, tZ)
+    )(*coords)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
-def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512,
-               rows: int = 8):
-    """Sum (K, NL, L) projective rows -> (NL, L) totals, one launch."""
-    K, _, L = tX.shape
+@partial(jax.jit, static_argnums=(0,), static_argnames=("block", "rows"))
+def rowsum_jac(cs, *coords, block: int = 512, rows: int = 8):
+    """Sum NC x (K, NL, L) point rows -> NC x (NL, L) totals, one
+    launch (NC = 3 SW projective / 4 TE extended)."""
+    NC = _nc(cs)
+    assert len(coords) == NC
+    K, _, L = coords[0].shape
     assert L % block == 0 and block % 128 == 0
     rows = min(rows, K)
     assert K % rows == 0
     KB = K // rows
 
-    def kern(x_ref, y_ref, z_ref, ox, oy, oz, ax, ay, az):
+    def kern(*refs):
+        ins = refs[:NC]
+        outs = refs[NC:2 * NC]
+        accs = refs[2 * NC:]
         r = pl.program_id(1)
 
         @pl.when(r == 0)
         def _():
-            _init_identity(cs, ax, ay, az)
+            _init_identity(cs, accs)
 
         def body(j, P):
-            Q = _rd_rows(x_ref, y_ref, z_ref, j)
-            X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
-            return (list(X3), list(Y3), list(Z3))
+            Q = _rd_rows(ins, j)
+            P3 = _g_add(cs, P, Q)
+            return tuple(list(c) for c in P3)
 
-        P = (_rd_s(ax), _rd_s(ay), _rd_s(az))
+        P = tuple(_rd_s(a) for a in accs)
         P = jax.lax.fori_loop(0, rows, body, P)
-        _wr_s(ax, P[0])
-        _wr_s(ay, P[1])
-        _wr_s(az, P[2])
-        ox[:] = ax[:]
-        oy[:] = ay[:]
-        oz[:] = az[:]
+        for a, c in zip(accs, P):
+            _wr_s(a, c)
+        for oref, a in zip(outs, accs):
+            oref[:] = a[:]
 
     spec = pl.BlockSpec(
         (rows, NL, block), lambda i, r: (r, 0, i),
@@ -294,15 +332,15 @@ def rowsum_jac(cs: CurveSpec, tX, tY, tZ, block: int = 512,
     return pl.pallas_call(
         kern,
         grid=(L // block, KB),
-        in_specs=[spec, spec, spec],
-        out_specs=(out_spec, out_spec, out_spec),
+        in_specs=[spec] * NC,
+        out_specs=tuple([out_spec] * NC),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((NL, L), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((NL, L), jnp.uint32) for _ in range(NC)
         ),
-        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((NL, block), jnp.uint32)] * NC,
         compiler_params=_PARAMS,
         interpret=_interpret(),
-    )(tX, tY, tZ)
+    )(*coords)
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5))
@@ -326,7 +364,7 @@ def horner_windows(cs: CurveSpec, pX, pY, pZ, c: int, block: int = 128):
         def wstep(t, P):
             P = jax.lax.fori_loop(0, c, dbl, P)
             j = W - 1 - t
-            Q = _rd_rows(x_ref, y_ref, z_ref, j)
+            Q = _rd_rows((x_ref, y_ref, z_ref), j)
             X3, Y3, Z3 = _k_rcb_add(cs, P, Q)
             return (list(X3), list(Y3), list(Z3))
 

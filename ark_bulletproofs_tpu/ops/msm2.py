@@ -190,22 +190,25 @@ def _stage_gather(g: _Cfg, X, Y, inf, order, base_map=None):
     return jnp.swapaxes(XY[ord_r], 1, 2)  # (R, NL, L)
 
 
-def _stage_carries(g: _Cfg, spec, lX, lY, lZ):
+def _stage_carries(g: _Cfg, spec, *locs):
     """Two-level exclusive column-carry suffix -> (BW, C) points.
 
-    col = i1*c2 + i2; level A scans i2 within each chunk."""
+    col = i1*c2 + i2; level A scans i2 within each chunk. `locs` are
+    the NC per-coord local-suffix arrays from the madd scan."""
     c1, c2, BW, C = g.c1, g.c2, g.BW, g.C
-    tot = (lX[0], lY[0], lZ[0])  # (NL, L) column totals
+    NC = len(locs)
+    tot = _tmap(lambda a: a[0], locs)  # (NL, L) column totals
     t4 = _tmap(lambda a: a.reshape(NL, BW, c1, c2), tot)
     lvlA_in = _tmap(
         lambda a: a.transpose(3, 0, 1, 2).reshape(c2, NL, BW * c1), t4
     )
     lvlA_in, La = _pad_lanes(lvlA_in, 512)
-    e2x, e2y, e2z, ctx, cty, ctz = k2.suffix_jac_scan(spec, *lvlA_in)
+    outs = k2.suffix_jac_scan(spec, *lvlA_in)
+    excl_parts, ct_parts = outs[:NC], outs[NC:]
     # chunk totals -> point-major (BW, c1, 16), small HS suffix
     ct = _tmap(
         lambda a: a[:, :La].reshape(NL, BW, c1).transpose(1, 2, 0),
-        (ctx, cty, ctz),
+        ct_parts,
     )
     ce = _excl_suffix_small(spec, ct, c1)  # (BW, c1, 16) chunk carries
     # within-chunk exclusive, point-major (BW, C) layout (col-ordered)
@@ -214,7 +217,7 @@ def _stage_carries(g: _Cfg, spec, lX, lY, lZ):
         .reshape(c2, NL, BW, c1)
         .transpose(2, 3, 0, 1)
         .reshape(BW, C, NL),
-        (e2x, e2y, e2z),
+        excl_parts,
     )
     ceb = _tmap(
         lambda a: jnp.broadcast_to(a[:, :, None, :], (BW, c1, c2, NL)).reshape(
@@ -225,21 +228,62 @@ def _stage_carries(g: _Cfg, spec, lX, lY, lZ):
     return dpj.add(spec, e2, ceb)  # (BW, C) points
 
 
-def _stage_buckets(g: _Cfg, spec, sd, lX, lY, lZ, excl_col):
+def _searchsorted16(sd, S: int):
+    """pos[r, j] = #{i : sd[r, i] < j} for j in [0, S) over SORTED rows.
+
+    Drop-in for vmapped `jnp.searchsorted(row, arange(S))`, which lowers
+    to a ~lg(n)-step binary search whose per-step (BW, S) element
+    gathers run at the XLA:TPU ~6 ns/row reorder rate (measured 32.6 ms
+    at n=2^20, S=4096 — tools/probe_msm2_stages.py). This version walks
+    a 16x group-max pyramid instead: the pyramid levels are bandwidth-
+    bound reduces, each refinement is one 64-byte CONTIGUOUS row gather
+    (the sweet spot of the gather cliff, tools/probe_gather.py) plus a
+    16-wide compare — ~3 ms for the same shape. Exact: a group of 16
+    sorted elements is entirely < j iff its max (last element) is < j,
+    so the boundary group index at each level is the count of fully-
+    below groups, and the final count telescopes down the pyramid."""
+    BW, n = sd.shape
+    js = jnp.arange(S, dtype=sd.dtype)
+    if n <= 256:
+        cmp = (sd[:, :, None] < js[None, None, :]).sum(axis=1)
+        return cmp.astype(jnp.int32)
+    levels = []
+    m = sd
+    while m.shape[1] > 256:
+        m = m.reshape(BW, m.shape[1] // 16, 16).max(axis=2)
+        levels.append(m)
+    c = (levels[-1][:, :, None] < js[None, None, :]).sum(axis=1)
+    c = c.astype(jnp.int32)  # (BW, S) counts in coarsest units
+    for lvl in levels[-2::-1] + [sd]:
+        ngrp = lvl.shape[1] // 16
+        base = jnp.minimum(c, ngrp - 1)  # boundary group of this level
+        # vmapped row[b] on the (ngrp, 16) view lowers to an XLA gather
+        # of CONTIGUOUS 64-byte rows (the gather sweet spot) — a fused
+        # per-element index formulation gathers BW*S*16 singles instead
+        win = jax.vmap(lambda row, b: row[b])(
+            lvl.reshape(BW, ngrp, 16), base
+        )  # (BW, S, 16)
+        c = base * 16 + (win < js[None, :, None]).sum(
+            axis=2, dtype=jnp.int32
+        )
+    return c
+
+
+def _stage_buckets(g: _Cfg, spec, sd, excl_col, *locs):
     """Bucket reduction via searchsorted-telescoping -> (BW, S) points."""
     S, n, R, C, BW = g.S, g.n, g.R, g.C, g.BW
     js = jnp.arange(S, dtype=U32)
-    pos = jax.vmap(lambda row: jnp.searchsorted(row, js))(sd)  # (BW, S)
+    pos = _searchsorted16(sd, S)  # (BW, S)
     valid = (js[None, :] >= 1) & (pos < n)
     posc = jnp.minimum(pos, n - 1).astype(jnp.int32)
     colj = posc // R
     rj = posc % R
     lanej = jnp.arange(BW, dtype=jnp.int32)[:, None] * C + colj
-    T1 = tuple(a[rj, :, lanej] for a in (lX, lY, lZ))  # (BW, S, NL)
+    T1 = tuple(a[rj, :, lanej] for a in locs)  # (BW, S, NL) x NC
     EC = _tmap(
         lambda a: a[jnp.arange(BW)[:, None], colj], excl_col
     )  # (BW, S, NL)
-    # invalid slots -> projective identity (0 : 1 : 0), NOT all-zero
+    # invalid slots -> the model identity, NOT all-zero
     ident = dpj.point_zero(spec, valid.shape)
     T1 = dpj.select(valid, T1, ident)
     EC = dpj.select(valid, EC, ident)
@@ -265,20 +309,39 @@ def _stage_rowsum(g: _Cfg, spec, U):
         lambda a: a[:, :L1].reshape(NL, BW, M1).transpose(2, 0, 1), part1
     )
     p2_in, _ = _pad_lanes(p2_in, 128)
-    return k2.rowsum_jac(spec, *p2_in, 128)  # (NL, BW padded)
+    return k2.rowsum_jac(spec, *p2_in, block=128)  # (NL, BW padded)
 
 
 def _stage_horner(g: _Cfg, spec, wsum):
-    """Window recombination -> (B, NL) projective coords per set.
+    """Window recombination -> (B, NL) model-native coords per set.
 
-    rows b*W + w -> (W, NL, B) with highest window at row W-1."""
-    B, W, BW = g.B, g.W, g.BW
-    h_in = _tmap(
-        lambda a: a[:, :BW].reshape(NL, B, W).transpose(2, 0, 1), wsum
-    )
-    h_in, _ = _pad_lanes(h_in, 128)
-    acc = k2.horner_windows(spec, *h_in, g.c)  # (NL, B padded)
-    return _tmap(lambda a: a[:, :B].T, acc)  # (B, NL)
+    acc = 2^c * acc + part[w] over descending windows, ONE fused
+    double-k-add kernel launch per window (kernels.rcb_double_k_add_tiled
+    / te_double_k_add_tiled) inside a fori so the step compiles once.
+    The previous all-windows-in-one-kernel version (kernels2.
+    horner_windows) measured 19.1 ms at W=22, c=12, B=1 — ~67 us per
+    group op at 128 lanes (tools/probe_msm2_stages.py round 5); W
+    fused launches cost ~30-40 us each instead (W*(c+1) SEQUENTIAL
+    group ops can't use lanes, so per-launch cost is everything)."""
+    from . import curve as dc
+    from . import kernels as kk
+
+    B, W = g.B, g.W
+    h = _tmap(
+        lambda a: a[:, :g.BW].reshape(NL, B, W).transpose(2, 1, 0), wsum
+    )  # (W, B, NL) point-major, highest-weight window at row W-1
+    acc = _tmap(lambda a: a[W - 1], h)
+    if W == 1:
+        return acc
+    te = dc.is_te(spec)
+
+    def wstep(t, P):
+        Q = _tmap(lambda a: jnp.take(a, W - 2 - t, axis=0), h)
+        flat, lanes, _ = dc._flat_pad(list(P) + list(Q), (B,))
+        f = kk.te_double_k_add_tiled if te else kk.rcb_double_k_add_tiled
+        return dc._unflat(f(spec, *flat, g.c), (B,), lanes)
+
+    return jax.lax.fori_loop(0, W - 1, wstep, acc)  # (B, NL)
 
 
 def msm2_impl(spec, c: int, X, Y, inf, scal, base_map=None):
@@ -296,9 +359,9 @@ def msm2_impl(spec, c: int, X, Y, inf, scal, base_map=None):
     g = _Cfg(n, c, scal.shape[0] if scal.ndim == 3 else 1)
     order, sd = _stage_sort(g, scal)
     gxy = _stage_gather(g, X, Y, inf, order, base_map)
-    lX, lY, lZ = k2.suffix_madd_scan(spec, gxy)
-    excl_col = _stage_carries(g, spec, lX, lY, lZ)
-    U = _stage_buckets(g, spec, sd, lX, lY, lZ, excl_col)
+    locs = k2.suffix_madd_scan(spec, gxy)
+    excl_col = _stage_carries(g, spec, *locs)
+    U = _stage_buckets(g, spec, sd, excl_col, *locs)
     wsum = _stage_rowsum(g, spec, U)
     out = _stage_horner(g, spec, wsum)
     if scal.ndim == 2:
@@ -348,7 +411,7 @@ def msm2_device_staged(spec, c: int, X, Y, inf, scal, base_map=None):
     gxy = f_gather(X, Y, inf, order, base_map)
     locs = k2.suffix_madd_scan(spec, gxy)
     excl_col = f_carries(*locs)
-    U = f_buckets(sd, *locs, excl_col)
+    U = f_buckets(sd, excl_col, *locs)
     wsum = f_rowsum(U)
     out = f_horner(wsum)
     if scal.ndim == 2:

@@ -17,15 +17,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import field as df
-from .curve import CurveSpec
+from .curve import CurveSpec, TECurveSpec
 from .limbs import N_LIMBS
 
-Point = tuple  # (X, Y, Z) limb arrays, shape (..., 16), Montgomery form
+Point = tuple  # SW: (X, Y, Z) projective; TE: (X, Y, T, Z) extended.
+# Every public function below dispatches on the spec model: SW runs the
+# RCB complete projective law, TE the unified HWCD extended law from
+# ops/curve.py — so v2-MSM glue code (ops/msm2.py) and its callers are
+# model-agnostic.
 
 
-def point_zero(spec: CurveSpec, shape=()) -> Point:
+def _te(spec) -> bool:
+    return isinstance(spec, TECurveSpec)
+
+
+def point_zero(spec, shape=()) -> Point:
     one = df.mont_one(spec.fq, shape)
     z = jnp.zeros(shape + (N_LIMBS,), jnp.uint32)
+    if _te(spec):
+        return (z, one, jnp.zeros_like(z), one)  # (0 : 1 : 0 : 1)
     return (z, one, jnp.zeros_like(z))
 
 
@@ -46,13 +56,16 @@ def _mul_const(fs, x, mont_limbs, small):
     return df.mont_mul(fs, x, c)
 
 
-def add(spec: CurveSpec, P: Point, Q: Point) -> Point:
-    """Complete P + Q (RCB Alg 1 general a / Alg 7 for a=0).
+def add(spec, P: Point, Q: Point) -> Point:
+    """Complete P + Q (RCB Alg 1 general a / Alg 7 for a=0; TE: unified
+    HWCD extended).
 
     Dispatches to the fused Pallas kernel for TPU shapes (one launch vs
     ~100 XLA kernels), like ops/curve.py::add does for Jacobian."""
     from . import curve as dc
 
+    if _te(spec):
+        return dc.add(spec, P, Q)  # dispatches to the TE tiled kernel
     shape = jnp.broadcast_shapes(
         *(c.shape[:-1] for c in P), *(c.shape[:-1] for c in Q)
     )
@@ -180,10 +193,12 @@ def add_mixed(spec: CurveSpec, P: Point, Qx, Qy, q_inf) -> Point:
     )
 
 
-def double(spec: CurveSpec, P: Point) -> Point:
-    """Complete projective doubling (RCB Alg 3 / Alg 9)."""
+def double(spec, P: Point) -> Point:
+    """Complete projective doubling (RCB Alg 3 / Alg 9; TE: unified)."""
     from . import curve as dc
 
+    if _te(spec):
+        return dc.double(spec, P)  # dispatches to the TE tiled kernel
     shape = jnp.broadcast_shapes(*(c.shape[:-1] for c in P))
     if dc._use_kernels(spec, shape):
         from . import kernels as kk
@@ -275,12 +290,16 @@ def point_to_host(curve, P) -> object:
     return (x * zi % f.p, y * zi % f.p)
 
 
-def to_jacobian(spec: CurveSpec, P: Point) -> Point:
+def to_jacobian(spec, P: Point) -> Point:
     """(X:Y:Z) projective -> equivalent Jacobian (XZ, YZ^2, Z).
 
     Three field muls; the identity (Z=0) maps to the Jacobian identity
     encoding (0, 0, 0). Lets the v2 MSM (projective-native) feed callers
-    that expect Jacobian points (ops/curve.py conventions)."""
+    that expect Jacobian points (ops/curve.py conventions). TE points
+    are already in the ops/curve.py extended representation: identity
+    pass-through."""
+    if _te(spec):
+        return P
     fs = spec.fq
     X, Y, Z = P
     Z2 = df.mont_mul(fs, Z, Z)

@@ -143,3 +143,128 @@ class ProverVectorPhase:
         return _eval_phase(
             self.fr, self.coeffs, jnp.asarray(ints_to_limbs([x])[0])
         )
+
+
+# --- device fixed-base Pedersen batch commit -----------------------------
+#
+# pc_gens.commit_many falls back to per-point host double-and-add when no
+# native backend covers the curve (the TE model / wide-field curves,
+# ark_bulletproofs_tpu/native.py::set_curve_native). At shuffle k=1024
+# scale that is 2048 sequential ~3 ms host muls — seconds of the TE
+# prove. This path runs the whole batch as ONE device program: a cached
+# 2^i * B / 2^i * B_blinding doubles table (one 256-step scan per base,
+# like ops/ipa.py::_q_doubles) + per-commit masked selects + a 9-step
+# binary tree reduction over the 512 combined bit-positions, then a
+# vmapped unrolled-pow batch affine conversion. Replaces the same
+# reference primitive as PedersenGens::commit (generators.rs:39-44).
+
+_COMMIT_TABLES: dict = {}
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _commit_many_prog(spec, p2cat, kv, kr):
+    """p2cat: NC coord arrays (512, 16) = [2^i*B rows | 2^i*Bb rows];
+    kv, kr: (P, 16) canonical scalar limbs. Returns per-coord (P, 16)
+    canonical affine x, y + (P,) inf mask."""
+    from . import curve as dc
+    from . import fs
+
+    fq = spec.fq
+    P = kv.shape[0]
+    k2 = jnp.concatenate([kv, kr], axis=1)  # (P, 32) limbs = 512 bits
+    bit_idx = np.arange(512)
+    limb_idx = bit_idx // 16
+    shift = jnp.asarray((bit_idx % 16).astype(np.uint32))
+    bits = (k2[:, limb_idx] >> shift) & 1  # (P, 512)
+    zero = dc.point_zero(spec, (P, 512))
+    pt = tuple(jnp.broadcast_to(c, (P, 512, N_LIMBS)) for c in p2cat)
+    acc = dc.select(bits > 0, pt, zero)
+    idx = jnp.arange(512, dtype=jnp.int32)
+
+    def step(s, x):
+        half = jnp.int32(512) >> (s + 1)
+        part = tuple(
+            jnp.take(c, jnp.minimum(idx + half, 511), axis=1) for c in x
+        )
+        keep = jnp.broadcast_to(idx < half, (P, 512))
+        return dc.select(keep, dc.add(spec, x, part), x)
+
+    acc = jax.lax.fori_loop(0, 9, step, acc)
+    S = tuple(c[:, 0] for c in acc)  # (P,) points
+    if dc.is_te(spec):
+        z = S[3]
+        xn, yn = S[0], S[1]
+        zi = fs.mont_pow_pm2.__wrapped__(fq, z)
+        xa = df.mont_mul(fq, xn, zi)
+        ya = df.mont_mul(fq, yn, zi)
+    else:  # Jacobian
+        z = S[2]
+        zi = fs.mont_pow_pm2.__wrapped__(fq, z)
+        zi2 = df.mont_sqr(fq, zi)
+        xa = df.mont_mul(fq, S[0], zi2)
+        ya = df.mont_mul(fq, S[1], df.mont_mul(fq, zi2, zi))
+    inf = df.is_zero(z)
+    return (
+        df.from_mont(fq, xa),
+        df.from_mont(fq, ya),
+        inf,
+    )
+
+
+def pedersen_commit_many_dev(curve, B, Bb, values, blinds,
+                             chunk: int = 2048):
+    """[v_i * B + r_i * B_blinding] as device batch(es); affine host
+    points out (None for the SW identity). Returns None off-TPU."""
+    import jax as _jax
+
+    from . import curve as dc
+    from .ipa import _q_doubles_jit
+    from .limbs import int_to_limbs
+
+    if _jax.devices()[0].platform == "cpu":
+        return None
+    spec = dc.spec_for(curve)
+    fq, frp = curve.fq, curve.fr.p
+    key = (curve.name, B, Bb)
+    p2cat = _COMMIT_TABLES.get(key)
+    if p2cat is None:
+        tabs = []
+        for P0 in (B, Bb):
+            qx = jnp.asarray(int_to_limbs(P0[0] * fq.R % fq.p))
+            qy = jnp.asarray(int_to_limbs(P0[1] * fq.R % fq.p))
+            tabs.append(_q_doubles_jit(spec, qx, qy))
+        p2cat = tuple(
+            jnp.concatenate([a, b], axis=0) for a, b in zip(*tabs)
+        )
+        _COMMIT_TABLES[key] = p2cat
+    out = []
+    n = len(values)
+    for s in range(0, n, chunk):
+        kv = jnp.asarray(ints_to_limbs([v % frp for v in values[s:s + chunk]]))
+        kr = jnp.asarray(ints_to_limbs([r % frp for r in blinds[s:s + chunk]]))
+        out.append(_commit_many_prog(spec, p2cat, kv, kr))
+    # one fetch per chunk: the three outputs ride one flat vector of
+    # length 33*Pc (x limbs | y limbs | inf mask)
+    xs_l, ys_l, inf_l = [], [], []
+    for o in out:
+        f = np.asarray(jnp.concatenate([
+            o[0].reshape(-1), o[1].reshape(-1), o[2].astype(jnp.uint32)
+        ]))
+        pc = len(f) // 33
+        xs_l.append(f[: pc * 16].reshape(pc, N_LIMBS))
+        ys_l.append(f[pc * 16: pc * 32].reshape(pc, N_LIMBS))
+        inf_l.append(f[pc * 32:].astype(bool))
+    xs = np.concatenate(xs_l, axis=0)
+    ys = np.concatenate(ys_l, axis=0)
+    infs = np.concatenate(inf_l, axis=0)
+    te = dc.is_te(spec)
+    pts = []
+    for i in range(n):
+        if infs[i] and not te:
+            pts.append(None)
+        else:
+            pts.append((
+                limbs_to_ints(xs[i])[0],
+                limbs_to_ints(ys[i])[0],
+            ))
+    return pts

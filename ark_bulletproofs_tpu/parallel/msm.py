@@ -350,7 +350,7 @@ def msm_device_maybe_sharded(spec, c, X, Y, inf, scal, base_map=None):
     if base_map is not None:
         v2_ok = (
             on_tpu
-            and isinstance(spec, dc.CurveSpec)
+            and isinstance(spec, (dc.CurveSpec, dc.TECurveSpec))
             and (n & (n - 1)) == 0
             and (n >= 1024 or (n >= 128 and scal.ndim == 3))
         )
@@ -385,13 +385,15 @@ def msm_device_maybe_sharded(spec, c, X, Y, inf, scal, base_map=None):
                 fns = (jax.jit(pair[0]), jax.jit(pair[1]))
                 _JIT_CACHE[key] = fns
             return fns[1 if scal.ndim == 3 else 0](X, Y, inf, scal)
-    # single-chip TPU: the fused mega-kernel Pippenger (jacobian out).
+    # single-chip TPU: the fused mega-kernel Pippenger (jacobian out;
+    # TE extended out for twisted-Edwards curves — the v2 kernels are
+    # model-generic since round 5, ops/kernels2.py::_g_madd).
     # Batched scalar sets qualify from n=256 (B*W rows keep the kernels
     # saturated — e.g. the IPA batch prover's (2P, 257) round MSMs);
     # single sets only from 1024 where the pipeline beats v1's overhead.
     v2_ok = (
         on_tpu
-        and isinstance(spec, dc.CurveSpec)
+        and isinstance(spec, (dc.CurveSpec, dc.TECurveSpec))
         and (n & (n - 1)) == 0
         and (n >= 1024 or (n >= 256 and scal.ndim == 3))
     )

@@ -118,7 +118,7 @@ def test_suffix_jac_scan_and_rowsum_match_host():
     curve = CURVE
     spec = dc.spec_for(curve)
     (tX, tY, tZ), host = _proj_rows(curve, Rb, L, seed=5)
-    ex, ey, ez, tx, ty, tz = k2.suffix_jac_scan(spec, tX, tY, tZ, block, rows)
+    ex, ey, ez, tx, ty, tz = k2.suffix_jac_scan(spec, tX, tY, tZ, block=block, rows=rows)
     ex, ey, ez = (np.asarray(a) for a in (ex, ey, ez))
     tot3 = tuple(np.asarray(a)[None] for a in (tx, ty, tz))
     for lane in (0, 1, 2, 128, 255):
@@ -129,7 +129,7 @@ def test_suffix_jac_scan_and_rowsum_match_host():
             acc = _host_add(curve, acc, host[r][lane])
         assert _lane_to_host(curve, *tot3, 0, lane) == acc, f"tot {lane}"
     # rowsum: totals only, ascending accumulation order
-    ox, oy, oz = k2.rowsum_jac(spec, tX, tY, tZ, block, rows)
+    ox, oy, oz = k2.rowsum_jac(spec, tX, tY, tZ, block=block, rows=rows)
     out3 = tuple(np.asarray(a)[None] for a in (ox, oy, oz))
     for lane in (0, 1, 2, 255):
         acc = None

@@ -1,7 +1,8 @@
 """Quick on-TPU msm2 correctness check vs the exact host Pippenger.
 
 Covers: fused path (n=1024, B=1 and B=2 + base_map), staged path
-(n=2^17, B=1). Run after touching msm2 stage code.
+(n=2^17, B=1), on both curve models (secq256k1 SW / curve25519 TE).
+Run after touching msm2 stage code or the kernels2 group bodies.
 """
 import random
 import sys
@@ -14,30 +15,21 @@ from ark_bulletproofs_tpu import curves
 from ark_bulletproofs_tpu.hashes.chacha import ChaChaRng
 from ark_bulletproofs_tpu.ops import curve as dc
 from ark_bulletproofs_tpu.ops import msm2
-from ark_bulletproofs_tpu.ops import proj as dpj
 from ark_bulletproofs_tpu.ops.limbs import ints_to_limbs
 
-curve = curves.secq256k1
-spec = dc.spec_for(curve)
 prng = random.Random(1)
-rng = ChaChaRng(bytes([9]) + bytes(31))
-base = [curve.rand(rng) for _ in range(128)]
 
 
-def host_msm(pts, ks):
-    acc = curve.zero()
-    for P, k in zip(pts, ks):
-        acc = curve.add(acc, curve.mul(P, k))
-    return acc
-
-
-def run(n, B, use_map, label):
+def run(curve, n, B, use_map, label):
+    spec = dc.spec_for(curve)
+    rng = ChaChaRng(bytes([9]) + bytes(31))
+    base = [curve.rand(rng) for _ in range(128)]
     pts = [base[i % 128] for i in range(n)]
     X, Y, inf = dc.affine_to_device(curve, pts)
     X, Y, inf = (jax.device_put(np.asarray(a)) for a in (X, Y, inf))
     kss = [[prng.randrange(curve.fr.p) for _ in range(n)] for _ in range(B)]
     scal = np.stack([np.asarray(ints_to_limbs(ks)) for ks in kss])
-    bm = None
+    bm = bmn = None
     if use_map:
         bmn = np.stack(
             [np.random.permutation(n).astype(np.int32) for _ in range(B)]
@@ -47,21 +39,34 @@ def run(n, B, use_map, label):
         scal = scal[0]
     c = msm2.window_bits(n)
     out = msm2.msm2_device_jac(spec, c, X, Y, inf, jax.device_put(scal), bm)
-    outs = np.asarray(np.stack(out))
+    outs = np.asarray(np.stack(out))  # (NCOORD, [B,] 16)
     if outs.ndim == 2:
         outs = outs[:, None, :]
     for b in range(B):
-        got = dc.jacobian_batch_ints(curve, outs[:, b:b + 1])[0]
-        got = curve.to_affine(got)
-        if use_map:
-            want = host_msm([pts[j] for j in bmn[b]], kss[b])
+        if dc.is_te(spec):
+            got = dc.point_to_host(curve, tuple(outs[:, b]))
+            if got is None:
+                got = curve.zero()
         else:
-            want = host_msm(pts, kss[b])
+            got = curve.to_affine(
+                dc.jacobian_batch_ints(curve, outs[:, b:b + 1])[0]
+            )
+        # points repeat every 128, so the exact host reference is a
+        # 128-term MSM over per-base aggregated scalars (works for both
+        # models without a slow n-term host Pippenger)
+        agg = [0] * 128
+        src = bmn[b] if use_map else range(n)
+        for i, j in enumerate(src):
+            agg[j % 128] = (agg[j % 128] + kss[b][i]) % curve.fr.p
+        want = curve.msm(base, agg)
         assert curve.eq(got, want), f"{label} b={b} MISMATCH"
     print(f"ok {label}", flush=True)
 
 
-run(1024, 1, False, "fused n=1024 B=1")
-run(1024, 2, True, "fused n=1024 B=2 base_map")
-run(1 << 17, 1, False, "staged n=2^17 B=1")
+for cname in ("secq256k1", "curve25519"):
+    curve = getattr(curves, cname)
+    run(curve, 1024, 1, False, f"fused n=1024 B=1 {cname}")
+    run(curve, 1024, 2, True, f"fused n=1024 B=2 base_map {cname}")
+run(curves.secq256k1, 1 << 17, 1, False, "staged n=2^17 B=1 secq256k1")
+run(curves.curve25519, 1 << 17, 1, False, "staged n=2^17 B=1 curve25519")
 print("ALL OK", flush=True)

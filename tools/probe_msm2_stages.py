@@ -104,7 +104,7 @@ def stageF(U):
     part1 = k2.rowsum_jac(spec, *p1_in)
     p2_in = _tmap(lambda a: a[:, :L1].reshape(NL, BW, M1).transpose(2, 0, 1), part1)
     p2_in, L2 = _pad_lanes(p2_in, 128)
-    wsum = k2.rowsum_jac(spec, *p2_in, 128)
+    wsum = k2.rowsum_jac(spec, *p2_in, block=128)
     return wsum, L2
 
 
