@@ -429,10 +429,22 @@ def mont_pow_pm2(fr: df.FieldSpec, x):
     Montgomery form.
 
     The exponent is STATIC, so the square-and-multiply chain is fully
-    unrolled straight-line code: ~255 sqr + ~128 mul small-width XLA
-    muls with ZERO loop iterations. (A lax.scan formulation measured
-    ~12 ms per call on the v5e at width 1-2 — ~45 us of while-loop
-    iteration overhead per bit dwarfing the microseconds of math.)"""
+    unrolled straight-line code: ~64 sqr-blocks + 64 muls with ZERO
+    loop iterations. (A lax.scan formulation measured ~12 ms per call
+    on the v5e at width 1-2 — ~45 us of while-loop iteration overhead
+    per bit dwarfing the microseconds of math.) At wide batch shapes
+    (the segmented-shrink / batch-commit affine conversions: thousands
+    of lanes) the muls route through the Pallas CIOS kernel
+    (df.mont_mul_fast — one launch per mul vs ~100 XLA kernels each);
+    tiny widths keep the XLA path (launch overhead would dominate)."""
+    lanes = 1
+    for d in x.shape[:-1]:
+        lanes *= d
+    wide = lanes >= 512
+
+    def mul(a, b):
+        return (df.mont_mul_fast if wide else df.mont_mul)(fr, a, b)
+
     e = fr.p - 2
     ndig = (e.bit_length() + 3) // 4
     digits = np.array(
@@ -442,14 +454,14 @@ def mont_pow_pm2(fr: df.FieldSpec, x):
     # x^0..x^15 (14 unrolled muls; tiny static subgraph)
     table = [df.mont_one(fr, x.shape[:-1]), x]
     for _ in range(14):
-        table.append(df.mont_mul(fr, table[-1], x))
+        table.append(mul(table[-1], x))
     table = jnp.stack(table)  # (16, ..., 16)
 
     def body(acc, d):
         for _ in range(4):
-            acc = df.mont_sqr(fr, acc)
+            acc = mul(acc, acc)
         f = jnp.take(table, d, axis=0)
-        return df.mont_mul(fr, acc, f), None
+        return mul(acc, f), None
 
     acc0 = df.mont_one(fr, x.shape[:-1])
     acc, _ = jax.lax.scan(body, acc0, jnp.asarray(digits))

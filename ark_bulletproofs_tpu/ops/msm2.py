@@ -278,11 +278,34 @@ def _stage_buckets(g: _Cfg, spec, sd, excl_col, *locs):
     posc = jnp.minimum(pos, n - 1).astype(jnp.int32)
     colj = posc // R
     rj = posc % R
-    lanej = jnp.arange(BW, dtype=jnp.int32)[:, None] * C + colj
-    T1 = tuple(a[rj, :, lanej] for a in locs)  # (BW, S, NL) x NC
-    EC = _tmap(
-        lambda a: a[jnp.arange(BW)[:, None], colj], excl_col
-    )  # (BW, S, NL)
+    if R == 1 and C <= 64:
+        # Small-set shapes (the segmented shrink's B*W x n<=64 MSMs):
+        # R = 1, so every bucket's source lives in its OWN row's C
+        # columns. The strided middle-axis gather costs ~26 ns/row x
+        # 3*BW*S rows (~660 ms at the n=2^16 shrink's 8.4M slots);
+        # C unrolled vector selects over the point-major window are
+        # pure VPU work instead.
+        win = _tmap(
+            lambda a: a[0].reshape(NL, BW, C).transpose(1, 2, 0), locs
+        )  # (BW, C, NL)
+        zsel = _tmap(lambda a: jnp.zeros((BW, S, NL), U32), locs)
+        T1 = list(zsel)
+        ECl = list(zsel)
+        for ci in range(C):
+            hit = (posc == ci)[:, :, None]  # (BW, S, 1)
+            for k in range(len(T1)):
+                T1[k] = jnp.where(hit, win[k][:, None, ci, :], T1[k])
+                ECl[k] = jnp.where(
+                    hit, excl_col[k][:, None, ci, :], ECl[k]
+                )
+        T1 = tuple(T1)
+        EC = tuple(ECl)
+    else:
+        lanej = jnp.arange(BW, dtype=jnp.int32)[:, None] * C + colj
+        T1 = tuple(a[rj, :, lanej] for a in locs)  # (BW, S, NL) x NC
+        EC = _tmap(
+            lambda a: a[jnp.arange(BW)[:, None], colj], excl_col
+        )  # (BW, S, NL)
     # invalid slots -> the model identity, NOT all-zero
     ident = dpj.point_zero(spec, valid.shape)
     T1 = dpj.select(valid, T1, ident)

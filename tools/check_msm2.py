@@ -67,6 +67,10 @@ for cname in ("secq256k1", "curve25519"):
     curve = getattr(curves, cname)
     run(curve, 1024, 1, False, f"fused n=1024 B=1 {cname}")
     run(curve, 1024, 2, True, f"fused n=1024 B=2 base_map {cname}")
+# small-set batched shape (R=1, C<=64): the segmented-shrink / batch-FS
+# bucket select-sum path
+run(curves.secq256k1, 16, 64, True, "fused n=16 B=64 base_map secq")
+run(curves.secq256k1, 64, 8, False, "fused n=64 B=8 secq")
 run(curves.secq256k1, 1 << 17, 1, False, "staged n=2^17 B=1 secq256k1")
 run(curves.curve25519, 1 << 17, 1, False, "staged n=2^17 B=1 curve25519")
 print("ALL OK", flush=True)

@@ -25,8 +25,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+_DEV = "8" if (len(sys.argv) > 1 and sys.argv[1] == "mesh") else "1"
 os.environ["XLA_FLAGS"] = (
-    "--xla_force_host_platform_device_count=1 "
+    f"--xla_force_host_platform_device_count={_DEV} "
     "--xla_disable_hlo_passes=fusion"
 )
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,18 +44,41 @@ spec = dc.spec_for(curves.secq256k1)
 fam = sys.argv[1] if len(sys.argv) > 1 else "mul"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 
-for i in range(K):
-    w = 8 + i  # distinct static width -> distinct compiled executable
-    x = jnp.zeros((w, 16), jnp.uint32)
-    if fam == "mul" or (fam == "mixed" and i % 3 == 0):
-        f = jax.jit(lambda a, b: df.mont_mul(spec.fq, a, b))
+if fam == "mesh":
+    # mesh-adjacent family: the round-4 suite crashes clustered around
+    # shard_map compiles on the 8-device CPU mesh
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(jax.devices(), ("d",))
+    for i in range(K):
+        w = 8 * (8 + i)
+        x = jnp.zeros((w, 16), jnp.uint32)
+
+        def body(a, b):
+            return df.mont_mul(spec.fq, a, b)
+
+        f = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P("d"), P("d")),
+            out_specs=P("d"),
+        ))
         f(x, x).block_until_ready()
-    elif fam == "add" or (fam == "mixed" and i % 3 == 1):
-        f = jax.jit(lambda P, Q: dpj._add_xla(spec, P, Q))
-        f((x, x, x), (x, x, x))[0].block_until_ready()
-    else:
-        f = jax.jit(lambda P: dpj._double_xla(spec, P))
-        f((x, x, x))[0].block_until_ready()
-    if (i + 1) % 10 == 0:
-        print(f"{i + 1} programs compiled ok", flush=True)
+        g = jax.jit(lambda a, b: df.mont_mul(spec.fq, a, b))
+        g(x, x).block_until_ready()
+        if (i + 1) % 10 == 0:
+            print(f"{i + 1} mesh program pairs compiled ok", flush=True)
+else:
+    for i in range(K):
+        w = 8 + i  # distinct static width -> distinct executable
+        x = jnp.zeros((w, 16), jnp.uint32)
+        if fam == "mul" or (fam == "mixed" and i % 3 == 0):
+            f = jax.jit(lambda a, b: df.mont_mul(spec.fq, a, b))
+            f(x, x).block_until_ready()
+        elif fam == "add" or (fam == "mixed" and i % 3 == 1):
+            f = jax.jit(lambda P, Q: dpj._add_xla(spec, P, Q))
+            f((x, x, x), (x, x, x))[0].block_until_ready()
+        else:
+            f = jax.jit(lambda P: dpj._double_xla(spec, P))
+            f((x, x, x))[0].block_until_ready()
+        if (i + 1) % 10 == 0:
+            print(f"{i + 1} programs compiled ok", flush=True)
 print("no crash", flush=True)
