@@ -68,11 +68,12 @@ class ShuffleProof:
         # blinding draws happen in the same order as the sequential
         # commit loop, so transcripts (and proofs) are unchanged
         with phase("shuffle:commits"):
-            in_blinds = [curve.fr.rand(prng) for _ in input_vals]
+            with phase("shuffle:blind-draws"):
+                in_blinds = [curve.fr.rand(prng) for _ in input_vals]
+                out_blinds = [curve.fr.rand(prng) for _ in output_vals]
             in_coms, in_vars = zip(
                 *prover.commit_many(list(input_vals), in_blinds)
             )
-            out_blinds = [curve.fr.rand(prng) for _ in output_vals]
             out_coms, out_vars = zip(
                 *prover.commit_many(list(output_vals), out_blinds)
             )

@@ -432,18 +432,14 @@ def mont_pow_pm2(fr: df.FieldSpec, x):
     unrolled straight-line code: ~64 sqr-blocks + 64 muls with ZERO
     loop iterations. (A lax.scan formulation measured ~12 ms per call
     on the v5e at width 1-2 — ~45 us of while-loop iteration overhead
-    per bit dwarfing the microseconds of math.) At wide batch shapes
-    (the segmented-shrink / batch-commit affine conversions: thousands
-    of lanes) the muls route through the Pallas CIOS kernel
-    (df.mont_mul_fast — one launch per mul vs ~100 XLA kernels each);
-    tiny widths keep the XLA path (launch overhead would dominate)."""
-    lanes = 1
-    for d in x.shape[:-1]:
-        lanes *= d
-    wide = lanes >= 512
+    per bit dwarfing the microseconds of math.) For WIDE batches use
+    `mont_inv_batch` instead: the ~319-step chain is sequentially
+    dependent, so at thousands of lanes it pays ~319 full-width
+    launches back-to-back (measured 8.4 s inside the segmented shrink
+    at 4x2048 lanes) — Montgomery's trick needs ~2 lg B wide muls."""
 
     def mul(a, b):
-        return (df.mont_mul_fast if wide else df.mont_mul)(fr, a, b)
+        return df.mont_mul(fr, a, b)
 
     e = fr.p - 2
     ndig = (e.bit_length() + 3) // 4
@@ -466,6 +462,57 @@ def mont_pow_pm2(fr: df.FieldSpec, x):
     acc0 = df.mont_one(fr, x.shape[:-1])
     acc, _ = jax.lax.scan(body, acc0, jnp.asarray(digits))
     return acc
+
+
+def mont_inv_batch(fq: df.FieldSpec, z):
+    """Batched field inverse of (B, 16) Montgomery elements via
+    Montgomery's trick: one inclusive/exclusive product scan pair
+    (2*ceil(lg B) wide muls, Hillis-Steele), ONE narrow pow-chain
+    inverse of the total, and two combine muls — vs ~319 sequentially-
+    dependent full-width muls for per-element pow (measured 8.4 s at
+    4x2048 lanes inside the segmented shrink; this is ~25 wide muls).
+    Zero lanes are replaced by one through the chain and return 0."""
+    B = z.shape[0]
+    iz = df.is_zero(z)
+    one = df.mont_one(fq, (B,))
+    x = df.select(iz, one, z)
+    # inclusive prefix products (log-steps; operands stay (B, 16))
+    pre = x
+    sh = 1
+    idx = jnp.arange(B, dtype=jnp.int32)
+    while sh < B:
+        part = jnp.where(
+            (idx >= sh)[:, None],
+            jnp.roll(pre, sh, axis=0), one,
+        )
+        pre = df.mont_mul_fast(fq, pre, part)
+        sh <<= 1
+    tot_inv = mont_pow_pm2.__wrapped__(fq, pre[B - 1])
+    # suffix-of-inverses: inv_i = pre_{i-1} * invsuf_i where
+    # invsuf_i = (x_i * x_{i+1} * ...)^{-1}, built by a reverse scan of
+    # running inverses: invsuf_i = tot_inv * pre_{i-1}... direct form:
+    # inv_i = pre_{i-1} * tot_inv * suf_{i+1}; build suffix products.
+    suf = x
+    sh = 1
+    while sh < B:
+        part = jnp.where(
+            (idx < B - sh)[:, None],
+            jnp.roll(suf, -sh, axis=0), one,
+        )
+        suf = df.mont_mul_fast(fq, suf, part)
+        sh <<= 1
+    pre_prev = jnp.where(
+        (idx >= 1)[:, None], jnp.roll(pre, 1, axis=0), one
+    )
+    suf_next = jnp.where(
+        (idx < B - 1)[:, None], jnp.roll(suf, -1, axis=0), one
+    )
+    inv = df.mont_mul_fast(
+        fq,
+        df.mont_mul_fast(fq, pre_prev, suf_next),
+        jnp.broadcast_to(tot_inv, z.shape),
+    )
+    return df.select(iz, jnp.zeros_like(z), inv)
 
 
 def limbs_to_bytes_le(limbs, nbytes: int):

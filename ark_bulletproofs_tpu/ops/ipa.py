@@ -416,19 +416,21 @@ def _mul_point_dev(spec, p2, k):
     zero = dc.point_zero(spec, (B, 256))
     pt = tuple(jnp.broadcast_to(c, (B, 256, N_LIMBS)) for c in p2)
     acc = dc.select(bits > 0, pt, zero)
-    # masked halving with ONE add instantiation (fixed width keeps the
-    # program small; 8 fori steps of a vectorized (B, 256)-lane add)
+    # unrolled masked halving: static halves make the shifted operand a
+    # STATIC slice (a traced jnp.take along axis 1 lowers to per-element
+    # gathers at ~6 ns each — ~50 ms/round at the batch prover's 2P=256
+    # sets); 8 add instantiations instead of one fori body
     idx = jnp.arange(256, dtype=jnp.int32)
-
-    def step(s, x):
-        half = jnp.int32(256) >> (s + 1)
+    for s in range(8):
+        half = 256 >> (s + 1)
         part = tuple(
-            jnp.take(c, jnp.minimum(idx + half, 255), axis=1) for c in x
+            jnp.concatenate(
+                [c[:, half:], jnp.zeros_like(c[:, :half])], axis=1
+            )
+            for c in acc
         )
         keep = jnp.broadcast_to(idx < half, (B, 256))
-        return dc.select(keep, dc.add(spec, x, part), x)
-
-    acc = jax.lax.fori_loop(0, 8, step, acc)
+        acc = dc.select(keep, dc.add(spec, acc, part), acc)
     return tuple(c[:, 0] for c in acc)
 
 
@@ -436,51 +438,68 @@ _q_doubles_jit = jax.jit(_q_doubles, static_argnums=(0,))
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
-def _shrink_fs_dev(spec, fr: df.FieldSpec, T: int, X, Y, inf, gm, hm):
-    """On-device segmented table shrink for the FS prover.
-
-    After r = lg(T) rounds the live witness is cur = N/T wide but the
-    fold weights still span all N original indices; materialize the
-    virtual folded generators G'_j = sum_t gm[j + t*cur] * G[j + t*cur]
-    (and H') as ONE batched base_map v2 MSM (2*cur sets of T terms) +
-    a vmapped unrolled-pow batch inversion — all device-resident, so
-    chaining segments costs zero host syncs. Recovers the reference's
-    physical per-round fold (inner_product_proof.rs:143-155, 219-225)
-    once per segment instead of every round. Returns the folded
-    (2*cur, 16) affine table (X', Y', inf')."""
+def _shrink_fs_chunk(spec, fr: df.FieldSpec, T: int, X, Y, inf,
+                     wts, bm):
+    """One set-slice of the segmented shrink: (B_c, T) Montgomery fold
+    weights + (B_c, T) base_map -> (B_c, 16) affine coords + inf."""
     from . import fs
     from . import msm2
 
     fq = spec.fq
-    N = gm.shape[0]
-    cur = N // T
-    gm_r = jnp.transpose(gm.reshape(T, cur, N_LIMBS), (1, 0, 2))
-    hm_r = jnp.transpose(hm.reshape(T, cur, N_LIMBS), (1, 0, 2))
-    scal = df.from_mont_fast(
-        fr, jnp.concatenate([gm_r, hm_r], axis=0)
-    )  # (2*cur, T) canonical
-    base = (
-        jnp.arange(cur, dtype=jnp.int32)[:, None]
-        + jnp.arange(T, dtype=jnp.int32)[None, :] * cur
-    )
-    bm = jnp.concatenate([base, base + N], axis=0)  # (2*cur, T)
+    scal = df.from_mont_fast(fr, wts)  # (B_c, T) canonical
     c = msm2.window_bits(T)
     out = msm2.msm2_impl(spec, c, X, Y, inf, scal, bm)  # model-native
     if dc.is_te(spec):
         z = out[3]
-        xn, yn = out[0], out[1]
     else:  # RCB projective (X : Y : Z), affine = (X/Z, Y/Z)
         z = out[2]
-        xn, yn = out[0], out[1]
     zi = fs.mont_pow_pm2.__wrapped__(fq, z)
-    x_a = df.mont_mul(fq, xn, zi)
-    y_a = df.mont_mul(fq, yn, zi)
+    x_a = df.mont_mul(fq, out[0], zi)
+    y_a = df.mont_mul(fq, out[1], zi)
     inf2 = df.is_zero(z)
     zero = jnp.zeros_like(x_a)
     return (
         df.select(inf2, zero, x_a),
         df.select(inf2, zero, y_a),
         inf2,
+    )
+
+
+def _shrink_fs_dev(spec, fr: df.FieldSpec, T: int, X, Y, inf, gm, hm):
+    """On-device segmented table shrink for the FS prover.
+
+    After r = lg(T) rounds the live witness is cur = N/T wide but the
+    fold weights still span all N original indices; materialize the
+    virtual folded generators G'_j = sum_t gm[j + t*cur] * G[j + t*cur]
+    (and H') as batched base_map v2 MSMs (2*cur sets of T terms) + a
+    vmapped unrolled-pow batch inversion — all device-resident and
+    async, so chaining segments costs zero host syncs. The set axis is
+    CHUNKED (ABTPU_IPA_SHRINK_SETS, default 2048): one fused dispatch
+    over all 2*cur sets scales its (B*W, S, 16)-limb bucket temps past
+    HBM (measured OOM at 16.03/15.75 GB for 8192 sets at N=2^16).
+    Recovers the reference's physical per-round fold
+    (inner_product_proof.rs:143-155, 219-225) once per segment instead
+    of every round. Returns the folded (2*cur, 16) table."""
+    N = gm.shape[0]
+    cur = N // T
+    gm_r = jnp.transpose(gm.reshape(T, cur, N_LIMBS), (1, 0, 2))
+    hm_r = jnp.transpose(hm.reshape(T, cur, N_LIMBS), (1, 0, 2))
+    wts = jnp.concatenate([gm_r, hm_r], axis=0)  # (2*cur, T) Montgomery
+    base = (
+        jnp.arange(cur, dtype=jnp.int32)[:, None]
+        + jnp.arange(T, dtype=jnp.int32)[None, :] * cur
+    )
+    bm = jnp.concatenate([base, base + N], axis=0)  # (2*cur, T)
+    cap = int(os.environ.get("ABTPU_IPA_SHRINK_SETS", "2048"))
+    parts = [
+        _shrink_fs_chunk(spec, fr, T, X, Y, inf,
+                         wts[s:s + cap], bm[s:s + cap])
+        for s in range(0, 2 * cur, cap)
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3)
     )
 
 

@@ -110,23 +110,37 @@ def _digits_all(scal, c: int, W: int):
     return d.reshape(B * W, -1)
 
 
-def _excl_suffix_small(spec, P, m: int):
-    """Exclusive suffix over axis -2 of (..., m, 16) proj points (m tiny)."""
+def _shift_up(a, sh: int, m: int):
+    """a[..., i+sh, :] for i+sh < m, zero rows beyond — STATIC slices
+    (a jnp.take along the middle axis lowers to per-element gathers at
+    the XLA ~6 ns/element reorder rate: ~200 ms/step at 33M elements,
+    measured in the shrink's carry stage)."""
+    pad = jnp.zeros(a.shape[:-2] + (sh,) + a.shape[-1:], a.dtype)
+    return jnp.concatenate([a[..., sh:, :], pad], axis=-2)
+
+
+def _suffix_small(spec, P, m: int):
+    """(exclusive suffix, inclusive suffix) over axis -2 of (..., m, 16)
+    points (m tiny; Hillis-Steele, lg m batched adds)."""
     steps = _log2(m)
     idx = jnp.arange(m, dtype=jnp.int32)
     x = P
     for k in range(steps):
         sh = 1 << k
-        part = _tmap(
-            lambda a: jnp.take(a, jnp.minimum(idx + sh, m - 1), axis=-2), x
-        )
+        part = _tmap(lambda a: _shift_up(a, sh, m), x)
         good = jnp.broadcast_to((idx + sh < m)[None, :], part[0].shape[:-1])
         part = dpj.select(good, part, dpj.point_zero(spec, part[0].shape[:-1]))
         x = dpj.add(spec, x, part)
     # inclusive -> exclusive shift
-    part = _tmap(lambda a: jnp.take(a, jnp.minimum(idx + 1, m - 1), axis=-2), x)
+    part = _tmap(lambda a: _shift_up(a, 1, m), x)
     good = jnp.broadcast_to((idx + 1 < m)[None, :], part[0].shape[:-1])
-    return dpj.select(good, part, dpj.point_zero(spec, part[0].shape[:-1]))
+    excl = dpj.select(good, part, dpj.point_zero(spec, part[0].shape[:-1]))
+    return excl, x
+
+
+def _excl_suffix_small(spec, P, m: int):
+    """Exclusive suffix over axis -2 of (..., m, 16) proj points (m tiny)."""
+    return _suffix_small(spec, P, m)[0]
 
 
 class _Cfg:
@@ -198,6 +212,24 @@ def _stage_carries(g: _Cfg, spec, *locs):
     c1, c2, BW, C = g.c1, g.c2, g.BW, g.C
     NC = len(locs)
     tot = _tmap(lambda a: a[0], locs)  # (NL, L) column totals
+    if C <= 64:
+        # Small column counts (small-n batched sets, e.g. the segmented
+        # shrink's n=16): no two-level split — ONE suffix_jac_scan with
+        # the COLUMN axis as kernel rows and all B*W sets as lanes.
+        # The two-level alternatives measured 0.8-1.0 s at the shrink's
+        # 2.1M-lane shape: the level-A kernel degenerates to L/block
+        # single-row grid steps, and XLA-glue formulations pay ~200 ms
+        # PER batched group-add in transposes/padding (dpj.add at
+        # (BW, C) lanes) — while this layout runs in ~33 ms.
+        t_in = _tmap(
+            lambda a: a.reshape(NL, BW, C).transpose(2, 0, 1), tot
+        )  # (C, NL, BW): columns become kernel rows
+        t_in, La = _pad_lanes(t_in, 512)
+        outs = k2.suffix_jac_scan(spec, *t_in)
+        return _tmap(
+            lambda a: a[:, :, :La].transpose(2, 0, 1),
+            outs[:NC],
+        )  # (BW, C, NL) exclusive column suffixes
     t4 = _tmap(lambda a: a.reshape(NL, BW, c1, c2), tot)
     lvlA_in = _tmap(
         lambda a: a.transpose(3, 0, 1, 2).reshape(c2, NL, BW * c1), t4
@@ -282,24 +314,31 @@ def _stage_buckets(g: _Cfg, spec, sd, excl_col, *locs):
         # Small-set shapes (the segmented shrink's B*W x n<=64 MSMs):
         # R = 1, so every bucket's source lives in its OWN row's C
         # columns. The strided middle-axis gather costs ~26 ns/row x
-        # 3*BW*S rows (~660 ms at the n=2^16 shrink's 8.4M slots);
-        # C unrolled vector selects over the point-major window are
-        # pure VPU work instead.
+        # 3*BW*S rows (~660 ms at the n=2^16 shrink's 8.4M slots) and
+        # an unrolled where-chain measured ~970 ms — so select via
+        # one-hot BATCHED MATMULS on the MXU instead: limbs are 16-bit
+        # values, the one-hot picks at most one per output, so float32
+        # accumulation is exact (< 2^24).
+        oh = (
+            posc[:, :, None] == jnp.arange(C, dtype=jnp.int32)
+        ).astype(jnp.float32)  # (BW, S, C)
+
+        def pick(a):  # (BW, C, NL) point-major source -> (BW, S, NL)
+            # HIGHEST precision: the TPU's default matmul truncates
+            # f32 operands to bf16 (8 mantissa bits) — silently wrong
+            # for 16-bit limb values. With the multi-pass decomposition
+            # the one-hot x u16 products and single-term sums are exact.
+            return jnp.einsum(
+                "bsc,bcl->bsl", oh, a.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(U32)
+
         win = _tmap(
             lambda a: a[0].reshape(NL, BW, C).transpose(1, 2, 0), locs
         )  # (BW, C, NL)
-        zsel = _tmap(lambda a: jnp.zeros((BW, S, NL), U32), locs)
-        T1 = list(zsel)
-        ECl = list(zsel)
-        for ci in range(C):
-            hit = (posc == ci)[:, :, None]  # (BW, S, 1)
-            for k in range(len(T1)):
-                T1[k] = jnp.where(hit, win[k][:, None, ci, :], T1[k])
-                ECl[k] = jnp.where(
-                    hit, excl_col[k][:, None, ci, :], ECl[k]
-                )
-        T1 = tuple(T1)
-        EC = tuple(ECl)
+        T1 = _tmap(pick, win)
+        EC = _tmap(pick, excl_col)
     else:
         lanej = jnp.arange(BW, dtype=jnp.int32)[:, None] * C + colj
         T1 = tuple(a[rj, :, lanej] for a in locs)  # (BW, S, NL) x NC

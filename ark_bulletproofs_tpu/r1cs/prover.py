@@ -157,14 +157,18 @@ class Prover(RandomizableConstraintSystem):
         with the Pedersen math done as one fixed-base batch
         (PedersenGens.commit_many; bit-identical to the loop)."""
         fr = self.curve.fr
-        pts = self.pc_gens.commit_many(values, blinds)
+        with phase("commit:pedersen-math"):
+            pts = self.pc_gens.commit_many(values, blinds)
         out = []
-        for v, r, V in zip(values, blinds, pts):
-            i = len(self.v)
-            self.v.append(int(v) % fr.p)
-            self.v_blinding.append(int(r) % fr.p)
-            protocol.append_point(self._transcript, self.curve, b"V", V)
-            out.append((V, Variable(Variable.COMMITTED, i, fr)))
+        with phase("commit:appends"):
+            for v, r, V in zip(values, blinds, pts):
+                i = len(self.v)
+                self.v.append(int(v) % fr.p)
+                self.v_blinding.append(int(r) % fr.p)
+                protocol.append_point(
+                    self._transcript, self.curve, b"V", V
+                )
+                out.append((V, Variable(Variable.COMMITTED, i, fr)))
         return out
 
     def flattened_constraints(self, z: int):
