@@ -160,6 +160,30 @@ class Field:
             if mont < self.p:
                 return mont * self.R_inv % self.p
 
+    def rand_many(self, rng, count: int) -> list[int]:
+        """`count` sequential `rand` draws, bit-identical to the loop.
+
+        When `rng` is a TranscriptRng backed by a Strobe128, the whole
+        draw sequence (meta-AD + PRF framing per u64, mask, rejection)
+        runs in one native call — the per-call Python STROBE op cost
+        (~36 us per 4-limb draw) made the prover's ~4k blinding draws
+        the largest single host item of a k=1024 shuffle prove
+        (~180 ms, reference analog prover.rs:516-564).
+        """
+        if count <= 0:
+            return []
+        strobe = getattr(rng, "_strobe", None)
+        if strobe is not None and count >= 8:
+            from .native import strobe_rand_fp_native
+
+            raw = strobe_rand_fp_native(
+                strobe, self.p, self.num_bits, self.n_limbs, count
+            )
+            if raw is not None:
+                R_inv, p = self.R_inv, self.p
+                return [m * R_inv % p for m in raw]
+        return [self.rand(rng) for _ in range(count)]
+
     # ---- arkworks-compatible serialization ----------------------------
 
     def to_bytes(self, a: int, flags: int = 0, flag_bits: int = 0) -> bytes:

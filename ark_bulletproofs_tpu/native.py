@@ -32,13 +32,22 @@ def _build() -> str | None:
     ):
         return _OUT
     os.makedirs(_OUT_DIR, exist_ok=True)
+    # Build to a temp path and os.replace: `g++ -o` truncates in place,
+    # which would fault any live process that still has the old .so
+    # mapped (rename leaves the old inode alive for them).
+    tmp = _OUT + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _OUT, *_SRCS,
+        "-o", tmp, *_SRCS,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _OUT)
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return _OUT
 
@@ -99,6 +108,15 @@ def lib():
                 ctypes.c_char_p,
                 ctypes.c_int,
             ]
+            L.abtpu_strobe_rand_fp.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.c_uint64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
             _lib = L
         except Exception:
             _lib = None
@@ -129,6 +147,44 @@ def keccak_f1600_bytes_native(state: bytearray) -> bool:
     buf = (ctypes.c_uint64 * 25).from_buffer(state)
     L.abtpu_keccak_f1600(buf)
     return True
+
+
+def strobe_rand_fp_native(strobe, p: int, num_bits: int, n_limbs: int,
+                          count: int) -> list[int] | None:
+    """Bulk arkworks `Fp::rand` driven off a Python Strobe128 object.
+
+    Runs `count` iterations of the exact merlin-TranscriptRng /
+    ark-ff sampling loop (n_limbs x [meta-AD(8u32le) + PRF(8)] per
+    attempt, top-limb mask, reject >= p) natively, mutating the
+    strobe's state/pos/pos_begin/cur_flags in place. Returns the raw
+    accepted samples (Montgomery representation, as ints) or None when
+    the native library is absent. Bit-exact with the per-call path
+    (tests/test_byte_layer.py).
+    """
+    L = lib()
+    if L is None:
+        return None
+    shave = 64 * n_limbs - num_bits
+    mask = 0 if shave == 64 else ((1 << 64) - 1) >> shave
+    plimbs = (ctypes.c_uint64 * n_limbs)(
+        *[(p >> (64 * i)) & ((1 << 64) - 1) for i in range(n_limbs)]
+    )
+    meta = (ctypes.c_int32 * 3)(
+        strobe.pos, strobe.pos_begin, strobe.cur_flags
+    )
+    st = (ctypes.c_uint8 * 200).from_buffer(strobe.state)
+    out = (ctypes.c_uint64 * (n_limbs * count))()
+    L.abtpu_strobe_rand_fp(st, meta, plimbs, mask, n_limbs, count, out)
+    strobe.pos = int(meta[0])
+    strobe.pos_begin = int(meta[1])
+    strobe.cur_flags = int(meta[2])
+    res = []
+    for e in range(count):
+        v = 0
+        for l in range(n_limbs):
+            v |= int(out[e * n_limbs + l]) << (64 * l)
+        res.append(v)
+    return res
 
 
 def chacha20_blocks_native(key_words, counter0: int, nblocks: int):

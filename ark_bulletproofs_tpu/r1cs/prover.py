@@ -235,11 +235,13 @@ class Prover(RandomizableConstraintSystem):
 
         gens = bp_gens.share(0)
 
-        i_blinding1 = fr.rand(rng)
-        o_blinding1 = fr.rand(rng)
-        s_blinding1 = fr.rand(rng)
-        s_L1 = [fr.rand(rng) for _ in range(n1)]
-        s_R1 = [fr.rand(rng) for _ in range(n1)]
+        # One bulk draw, sliced in the sequential order of the per-call
+        # path (bit-identical; fields.rand_many) — the ~4k per-call
+        # draws were the largest host item of a k=1024 prove.
+        draws1 = fr.rand_many(rng, 3 + 2 * n1)
+        i_blinding1, o_blinding1, s_blinding1 = draws1[:3]
+        s_L1 = draws1[3:3 + n1]
+        s_R1 = draws1[3 + n1:]
 
         Bb = self.pc_gens.B_blinding
         G1 = gens.G(n1)
@@ -310,13 +312,13 @@ class Prover(RandomizableConstraintSystem):
 
         has_phase2 = n2 > 0
         if has_phase2:
-            i_blinding2 = fr.rand(rng)
-            o_blinding2 = fr.rand(rng)
-            s_blinding2 = fr.rand(rng)
+            draws2 = fr.rand_many(rng, 3 + 2 * n2)
+            i_blinding2, o_blinding2, s_blinding2 = draws2[:3]
+            s_L2 = draws2[3:3 + n2]
+            s_R2 = draws2[3 + n2:]
         else:
             i_blinding2 = o_blinding2 = s_blinding2 = 0
-        s_L2 = [fr.rand(rng) for _ in range(n2)]
-        s_R2 = [fr.rand(rng) for _ in range(n2)]
+            s_L2, s_R2 = [], []
 
         with phase("prove:phase2_msm"):
             if has_phase2:
@@ -567,10 +569,11 @@ def prove_batch(provers: list, prngs: list, bp_gens: BulletproofGens):
     H1 = gens.H(n1)
 
     for prover, rng in zip(provers, rngs):
+        d = fr.rand_many(rng, 3 + 2 * n1)
         st = {
-            "i1": fr.rand(rng), "o1": fr.rand(rng), "s1": fr.rand(rng),
-            "s_L1": [fr.rand(rng) for _ in range(n1)],
-            "s_R1": [fr.rand(rng) for _ in range(n1)],
+            "i1": d[0], "o1": d[1], "s1": d[2],
+            "s_L1": d[3:3 + n1],
+            "s_R1": d[3 + n1:],
         }
         states.append(st)
 
@@ -602,13 +605,13 @@ def prove_batch(provers: list, prngs: list, bp_gens: BulletproofGens):
 
     for prover, st, rng in zip(provers, states, rngs):
         if has_phase2:
-            st["i2"], st["o2"], st["s2"] = (
-                fr.rand(rng), fr.rand(rng), fr.rand(rng)
-            )
+            d = fr.rand_many(rng, 3 + 2 * n2)
+            st["i2"], st["o2"], st["s2"] = d[0], d[1], d[2]
+            st["s_L2"] = d[3:3 + n2]
+            st["s_R2"] = d[3 + n2:]
         else:
             st["i2"] = st["o2"] = st["s2"] = 0
-        st["s_L2"] = [fr.rand(rng) for _ in range(n2)]
-        st["s_R2"] = [fr.rand(rng) for _ in range(n2)]
+            st["s_L2"], st["s_R2"] = [], []
 
     if has_phase2:
         G2 = gens.G(n)[n1:]

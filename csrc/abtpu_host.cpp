@@ -139,4 +139,90 @@ void abtpu_sha3(const uint8_t* data, uint64_t len, uint64_t rate,
   }
 }
 
+
+// ---------------------------------------------------------------------
+// STROBE-128 bulk Fp::rand
+//
+// Replicates, byte-for-byte, the Python Strobe128 op sequence that
+// merlin's TranscriptRng drives for arkworks Fp::rand (reference:
+// merlin TranscriptRng fill_bytes = meta-AD(len-LE32) + PRF(n);
+// rand_core next_u64_via_fill at 8 bytes/word; ark-ff Fp::rand masks
+// the top limb and rejects >= p). One C call replaces n_limbs*count
+// Python STROBE ops (~9 us each) on the prover's blinding draws.
+// ---------------------------------------------------------------------
+
+static const int kStrobeR = 166;  // 200 - 2*(128/8) - 2
+
+static void strobe_run_f(uint8_t* st, int* pos, int* pos_begin) {
+  st[*pos] ^= (uint8_t)(*pos_begin);
+  st[*pos + 1] ^= 0x04;
+  st[kStrobeR + 1] ^= 0x80;
+  abtpu_keccak_f1600(reinterpret_cast<uint64_t*>(st));
+  *pos = 0;
+  *pos_begin = 0;
+}
+
+static void strobe_absorb(uint8_t* st, int* pos, int* pos_begin,
+                          const uint8_t* d, int n) {
+  for (int i = 0; i < n; ++i) {
+    st[*pos] ^= d[i];
+    ++*pos;
+    if (*pos == kStrobeR) strobe_run_f(st, pos, pos_begin);
+  }
+}
+
+// flags: I=1 A=2 C=4 T=8 M=16 K=32 (begin_op with more=false).
+static void strobe_begin_op(uint8_t* st, int* pos, int* pos_begin,
+                            uint8_t* cur_flags, uint8_t flags) {
+  uint8_t framing[2] = {(uint8_t)(*pos_begin), flags};
+  *pos_begin = *pos + 1;
+  *cur_flags = flags;
+  strobe_absorb(st, pos, pos_begin, framing, 2);
+  if ((flags & (0x04 | 0x20)) && *pos != 0) strobe_run_f(st, pos, pos_begin);
+}
+
+// Draw `count` field elements into out[count*n_limbs] (LE u64 limbs of
+// the accepted raw sample == the Montgomery representation). meta is
+// {pos, pos_begin, cur_flags} of the Python Strobe128, updated in place.
+// p_limbs is the modulus (LE limbs); last_mask shaves the top limb.
+void abtpu_strobe_rand_fp(uint8_t* st, int32_t* meta,
+                          const uint64_t* p_limbs, uint64_t last_mask,
+                          int n_limbs, int count, uint64_t* out) {
+  int pos = meta[0], pos_begin = meta[1];
+  uint8_t cf = (uint8_t)meta[2];
+  const uint8_t len8_le[4] = {8, 0, 0, 0};
+  for (int e = 0; e < count; ++e) {
+    for (;;) {
+      uint64_t limbs[8];
+      for (int l = 0; l < n_limbs; ++l) {
+        // fill_bytes(8): meta_ad(u32_le(8)) then prf(8).
+        strobe_begin_op(st, &pos, &pos_begin, &cf, 0x10 | 0x02);
+        strobe_absorb(st, &pos, &pos_begin, len8_le, 4);
+        strobe_begin_op(st, &pos, &pos_begin, &cf, 0x01 | 0x02 | 0x04);
+        uint64_t v = 0;
+        for (int i = 0; i < 8; ++i) {  // squeeze: read + zero
+          v |= (uint64_t)st[pos] << (8 * i);
+          st[pos] = 0;
+          ++pos;
+          if (pos == kStrobeR) strobe_run_f(st, &pos, &pos_begin);
+        }
+        limbs[l] = v;
+      }
+      limbs[n_limbs - 1] &= last_mask;
+      bool lt = false;
+      for (int l = n_limbs - 1; l >= 0; --l) {
+        if (limbs[l] < p_limbs[l]) { lt = true; break; }
+        if (limbs[l] > p_limbs[l]) break;
+      }
+      if (lt) {
+        for (int l = 0; l < n_limbs; ++l) out[e * n_limbs + l] = limbs[l];
+        break;
+      }
+    }
+  }
+  meta[0] = pos;
+  meta[1] = pos_begin;
+  meta[2] = cf;
+}
+
 }  // extern "C"

@@ -113,3 +113,35 @@ def test_transcript_rng_witness_binding():
     a, b, c = r1.fill_bytes(32), r2.fill_bytes(32), r3.fill_bytes(32)
     assert a != b
     assert a == c
+
+
+def test_rand_many_bit_exact_with_per_call_path():
+    """fields.rand_many == the sequential fr.rand loop, and leaves the
+    TranscriptRng STROBE state identical (native bulk path vs per-call
+    Python ops; reference semantics: merlin TranscriptRng fill_bytes =
+    meta-AD(LE32 len) + PRF, rand_core next_u64_via_fill, ark-ff
+    Fp::rand rejection loop)."""
+    from ark_bulletproofs_tpu.curves import curve25519, secq256k1
+    from ark_bulletproofs_tpu.rand import seeded_rng
+    from ark_bulletproofs_tpu.transcript.merlin import Transcript
+
+    def mk_rng():
+        t = Transcript(b"rand_many test")
+        return (
+            t.build_rng()
+            .rekey_with_witness_bytes(b"w", b"\x42" * 32)
+            .finalize(seeded_rng(9))
+        )
+
+    for fld in (secq256k1.fr, curve25519.fr, curve25519.fq):
+        r_loop, r_bulk = mk_rng(), mk_rng()
+        want = [fld.rand(r_loop) for _ in range(65)]
+        got = fld.rand_many(r_bulk, 65)
+        assert got == want
+        # STROBE states converged: the next draw agrees too.
+        assert fld.rand(r_loop) == fld.rand(r_bulk)
+
+    # Non-TranscriptRng rngs take the fallback loop and still match.
+    fld = secq256k1.fr
+    a, b = seeded_rng(3), seeded_rng(3)
+    assert fld.rand_many(a, 10) == [fld.rand(b) for _ in range(10)]
