@@ -96,8 +96,8 @@ class ShuffleProof:
         transcript.append_u64(b"k", k)
 
         verifier = Verifier(curve, transcript)
-        in_vars = [verifier.commit(V) for V in input_commitments]
-        out_vars = [verifier.commit(V) for V in output_commitments]
+        in_vars = verifier.commit_many(input_commitments)
+        out_vars = verifier.commit_many(output_commitments)
         shuffle_gadget(verifier, curve, in_vars, out_vars)
         verifier.verify(self.proof, pc_gens, bp_gens)
 
@@ -113,8 +113,8 @@ class ShuffleProof:
         transcript.append_message(b"dom-sep", b"ShuffleProof")
         transcript.append_u64(b"k", len(input_commitments))
         verifier = Verifier(curve, transcript)
-        in_vars = [verifier.commit(V) for V in input_commitments]
-        out_vars = [verifier.commit(V) for V in output_commitments]
+        in_vars = verifier.commit_many(input_commitments)
+        out_vars = verifier.commit_many(output_commitments)
         shuffle_gadget(verifier, curve, in_vars, out_vars)
         return verifier
 

@@ -161,13 +161,16 @@ class Prover(RandomizableConstraintSystem):
             pts = self.pc_gens.commit_many(values, blinds)
         out = []
         with phase("commit:appends"):
+            # One bulk transcript absorb (same per-point byte framing;
+            # Transcript.append_messages).
+            self._transcript.append_messages(
+                b"V",
+                [self.curve.serialize_uncompressed(V) for V in pts],
+            )
             for v, r, V in zip(values, blinds, pts):
                 i = len(self.v)
                 self.v.append(int(v) % fr.p)
                 self.v_blinding.append(int(r) % fr.p)
-                protocol.append_point(
-                    self._transcript, self.curve, b"V", V
-                )
                 out.append((V, Variable(Variable.COMMITTED, i, fr)))
         return out
 

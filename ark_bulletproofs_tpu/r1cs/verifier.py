@@ -104,6 +104,20 @@ class Verifier(RandomizableConstraintSystem):
         protocol.append_point(self._transcript, self.curve, b"V", commitment)
         return Variable(Variable.COMMITTED, i, self.curve.fr)
 
+    def commit_many(self, commitments: list):
+        """Batched `commit` — same transcript appends in the same order
+        (one bulk STROBE absorb; mirrors Prover.commit_many)."""
+        self._transcript.append_messages(
+            b"V",
+            [self.curve.serialize_uncompressed(V) for V in commitments],
+        )
+        out = []
+        for V in commitments:
+            i = len(self.V)
+            self.V.append(V)
+            out.append(Variable(Variable.COMMITTED, i, self.curve.fr))
+        return out
+
     def flattened_constraints(self, z: int):
         """Like the prover's, plus the constant term wc
         (reference verifier.rs:304-349)."""

@@ -225,4 +225,31 @@ void abtpu_strobe_rand_fp(uint8_t* st, int32_t* meta,
   meta[2] = cf;
 }
 
+
+// Bulk merlin append_message with a shared label: for each message,
+// meta-AD(label) + meta-AD(LE32 len, more=true) + AD(msg) — exactly the
+// Python Transcript.append_message op sequence. Replaces the per-point
+// Python STROBE ops of the commit-phase transcript appends (~10 us per
+// point across ~2k commits of a k=1024 shuffle prove).
+void abtpu_strobe_append_msgs(uint8_t* st, int32_t* meta,
+                              const uint8_t* label, int label_len,
+                              const uint8_t* msgs, int msg_len,
+                              int count) {
+  int pos = meta[0], pos_begin = meta[1];
+  uint8_t cf = (uint8_t)meta[2];
+  uint8_t len_le[4] = {
+      (uint8_t)(msg_len & 0xff), (uint8_t)((msg_len >> 8) & 0xff),
+      (uint8_t)((msg_len >> 16) & 0xff), (uint8_t)((msg_len >> 24) & 0xff)};
+  for (int e = 0; e < count; ++e) {
+    strobe_begin_op(st, &pos, &pos_begin, &cf, 0x10 | 0x02);  // meta-AD
+    strobe_absorb(st, &pos, &pos_begin, label, label_len);
+    strobe_absorb(st, &pos, &pos_begin, len_le, 4);           // more=true
+    strobe_begin_op(st, &pos, &pos_begin, &cf, 0x02);         // AD
+    strobe_absorb(st, &pos, &pos_begin, msgs + (size_t)e * msg_len, msg_len);
+  }
+  meta[0] = pos;
+  meta[1] = pos_begin;
+  meta[2] = cf;
+}
+
 }  // extern "C"

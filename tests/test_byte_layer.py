@@ -145,3 +145,24 @@ def test_rand_many_bit_exact_with_per_call_path():
     fld = secq256k1.fr
     a, b = seeded_rng(3), seeded_rng(3)
     assert fld.rand_many(a, 10) == [fld.rand(b) for _ in range(10)]
+
+
+def test_append_messages_bit_exact_with_loop():
+    """Transcript.append_messages == the sequential append_message loop
+    (native bulk absorb vs per-call ops), including state convergence."""
+    from ark_bulletproofs_tpu.transcript.merlin import Transcript
+
+    msgs = [bytes([i]) * 64 for i in range(33)]
+    t_loop, t_bulk = Transcript(b"bulk"), Transcript(b"bulk")
+    for m in msgs:
+        t_loop.append_message(b"V", m)
+    t_bulk.append_messages(b"V", msgs)
+    assert t_loop.challenge_bytes(b"c", 32) == t_bulk.challenge_bytes(b"c", 32)
+
+    # Mixed sizes take the fallback loop and still match.
+    mixed = [b"a", b"bb" * 100, b"", b"xyz"]
+    t_loop, t_bulk = Transcript(b"bulk2"), Transcript(b"bulk2")
+    for m in mixed:
+        t_loop.append_message(b"V", m)
+    t_bulk.append_messages(b"V", mixed)
+    assert t_loop.challenge_bytes(b"c", 32) == t_bulk.challenge_bytes(b"c", 32)
