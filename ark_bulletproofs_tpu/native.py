@@ -37,7 +37,7 @@ def _build() -> str | None:
     # mapped (rename leaves the old inode alive for them).
     tmp = _OUT + f".tmp.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", tmp, *_SRCS,
     ]
     try:

@@ -16,6 +16,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -439,23 +440,42 @@ extern "C" void abtpu_cpu_commit_many(const uint8_t* xs, const uint8_t* ys,
     }
   }
 
-  for (uint64_t i = 0; i < n; ++i) {
-    Jac acc = JAC_INF;
-    const uint8_t* two[2] = {vs + 32 * i, rs + 32 * i};
-    for (int b = 0; b < 2; ++b) {
-      for (uint32_t w = 0; w < W; ++w) {
-        uint32_t d = two[b][w];  // c = 8: digit w is byte w
-        if (d) jac_add(acc, table[(b * W + w) * D + (d - 1)]);
+  // The per-scalar walks are independent; split across threads (the
+  // 2048-commit batch of a k=1024 shuffle ran 62 ms single-threaded).
+  const Jac* tbl = table.data();
+  auto worker = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      Jac acc = JAC_INF;
+      const uint8_t* two[2] = {vs + 32 * i, rs + 32 * i};
+      for (int b = 0; b < 2; ++b) {
+        for (uint32_t w = 0; w < W; ++w) {
+          uint32_t d = two[b][w];  // c = 8: digit w is byte w
+          if (d) jac_add(acc, tbl[(b * W + w) * D + (d - 1)]);
+        }
       }
+      Fp one = {{1, 0, 0, 0}};
+      Fp ox, oy, oz;
+      fp_mul(acc.x, one, ox);
+      fp_mul(acc.y, one, oy);
+      fp_mul(acc.z, one, oz);
+      std::memcpy(out + 96 * i, ox.v, 32);
+      std::memcpy(out + 96 * i + 32, oy.v, 32);
+      std::memcpy(out + 96 * i + 64, oz.v, 32);
     }
-    Fp one = {{1, 0, 0, 0}};
-    Fp ox, oy, oz;
-    fp_mul(acc.x, one, ox);
-    fp_mul(acc.y, one, oy);
-    fp_mul(acc.z, one, oz);
-    std::memcpy(out + 96 * i, ox.v, 32);
-    std::memcpy(out + 96 * i + 32, oy.v, 32);
-    std::memcpy(out + 96 * i + 64, oz.v, 32);
+  };
+  uint64_t nthreads = std::thread::hardware_concurrency();
+  if (nthreads > n / 64) nthreads = n / 64;  // >=64 scalars per thread
+  if (nthreads <= 1) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    uint64_t chunk = (n + nthreads - 1) / nthreads;
+    for (uint64_t t = 0; t < nthreads; ++t) {
+      uint64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      threads.emplace_back(worker, lo, hi);
+    }
+    for (auto& th : threads) th.join();
   }
 }
 
