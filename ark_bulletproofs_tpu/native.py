@@ -117,6 +117,15 @@ def lib():
                 ctypes.c_int,
                 ctypes.c_int,
             ]
+            L.abtpu_strobe_rekey_msgs.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
             L.abtpu_strobe_rand_fp.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32),
@@ -171,6 +180,27 @@ def strobe_append_msgs_native(strobe, label: bytes, msgs: bytes,
     )
     st = (ctypes.c_uint8 * 200).from_buffer(strobe.state)
     L.abtpu_strobe_append_msgs(
+        st, meta, label, len(label), msgs, msg_len, count
+    )
+    strobe.pos = int(meta[0])
+    strobe.pos_begin = int(meta[1])
+    strobe.cur_flags = int(meta[2])
+    return True
+
+
+def strobe_rekey_msgs_native(strobe, label: bytes, msgs: bytes,
+                             msg_len: int, count: int) -> bool:
+    """Bulk rekey_with_witness_bytes (shared label, equal-size
+    witnesses), bit-exact with the per-call path; mutates the Strobe128
+    in place. Returns False when the native library is absent."""
+    L = lib()
+    if L is None:
+        return False
+    meta = (ctypes.c_int32 * 3)(
+        strobe.pos, strobe.pos_begin, strobe.cur_flags
+    )
+    st = (ctypes.c_uint8 * 200).from_buffer(strobe.state)
+    L.abtpu_strobe_rekey_msgs(
         st, meta, label, len(label), msgs, msg_len, count
     )
     strobe.pos = int(meta[0])

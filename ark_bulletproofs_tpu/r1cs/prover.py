@@ -225,11 +225,10 @@ class Prover(RandomizableConstraintSystem):
 
         # Witness-bound RNG (reference prover.rs:483-494).
         with phase("prove:rng"):
-            builder = t.build_rng()
-            for v_b in self.v_blinding:
-                builder = builder.rekey_with_witness_bytes(
-                    b"v_blinding", fr.to_bytes(v_b)
-                )
+            builder = t.build_rng().rekey_with_witness_many(
+                b"v_blinding",
+                [fr.to_bytes(v_b) for v_b in self.v_blinding],
+            )
             rng = builder.finalize(prng)
 
         n1 = len(self.a_L)
@@ -554,11 +553,10 @@ def prove_batch(provers: list, prngs: list, bp_gens: BulletproofGens):
     for prover, prng in zip(provers, prngs):
         t = prover._transcript
         t.append_u64(b"m", len(prover.v))
-        builder = t.build_rng()
-        for v_b in prover.v_blinding:
-            builder = builder.rekey_with_witness_bytes(
-                b"v_blinding", fr.to_bytes(v_b)
-            )
+        builder = t.build_rng().rekey_with_witness_many(
+            b"v_blinding",
+            [fr.to_bytes(v_b) for v_b in prover.v_blinding],
+        )
         rngs.append(builder.finalize(prng))
 
     n1 = len(provers[0].a_L)

@@ -79,6 +79,28 @@ class TranscriptRngBuilder:
         self._strobe.key(witness, False)
         return self
 
+    def rekey_with_witness_many(
+        self, label: bytes, witnesses: list[bytes]
+    ) -> "TranscriptRngBuilder":
+        """Sequential `rekey_with_witness_bytes` with a shared label,
+        bit-identical to the loop; equal-size witnesses ride one native
+        STROBE call (the prover rekeys once per committed blinding —
+        ~2k ops of a k=1024 shuffle prove; reference prover.rs:483-494)."""
+        if not witnesses:
+            return self
+        wlen = len(witnesses[0])
+        if len(witnesses) >= 8 and all(len(w) == wlen for w in witnesses):
+            from ..native import strobe_rekey_msgs_native
+
+            if strobe_rekey_msgs_native(
+                self._strobe, label, b"".join(witnesses), wlen,
+                len(witnesses),
+            ):
+                return self
+        for w in witnesses:
+            self.rekey_with_witness_bytes(label, w)
+        return self
+
     def finalize(self, rng) -> "TranscriptRng":
         """`rng` must expose fill_bytes(n) -> bytes (external entropy)."""
         random_bytes = rng.fill_bytes(32)

@@ -252,4 +252,34 @@ void abtpu_strobe_append_msgs(uint8_t* st, int32_t* meta,
   meta[2] = cf;
 }
 
+
+// Bulk merlin TranscriptRngBuilder::rekey_with_witness_bytes with a
+// shared label: meta-AD(label) + meta-AD(LE32 len, more) + KEY(witness)
+// per item. KEY = begin_op(A|C) (forced permutation) + overwrite.
+void abtpu_strobe_rekey_msgs(uint8_t* st, int32_t* meta,
+                             const uint8_t* label, int label_len,
+                             const uint8_t* msgs, int msg_len,
+                             int count) {
+  int pos = meta[0], pos_begin = meta[1];
+  uint8_t cf = (uint8_t)meta[2];
+  uint8_t len_le[4] = {
+      (uint8_t)(msg_len & 0xff), (uint8_t)((msg_len >> 8) & 0xff),
+      (uint8_t)((msg_len >> 16) & 0xff), (uint8_t)((msg_len >> 24) & 0xff)};
+  for (int e = 0; e < count; ++e) {
+    strobe_begin_op(st, &pos, &pos_begin, &cf, 0x10 | 0x02);  // meta-AD
+    strobe_absorb(st, &pos, &pos_begin, label, label_len);
+    strobe_absorb(st, &pos, &pos_begin, len_le, 4);           // more=true
+    strobe_begin_op(st, &pos, &pos_begin, &cf, 0x02 | 0x04);  // KEY
+    const uint8_t* m = msgs + (size_t)e * msg_len;
+    for (int i = 0; i < msg_len; ++i) {  // overwrite
+      st[pos] = m[i];
+      ++pos;
+      if (pos == kStrobeR) strobe_run_f(st, &pos, &pos_begin);
+    }
+  }
+  meta[0] = pos;
+  meta[1] = pos_begin;
+  meta[2] = cf;
+}
+
 }  // extern "C"

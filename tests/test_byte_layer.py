@@ -166,3 +166,29 @@ def test_append_messages_bit_exact_with_loop():
         t_loop.append_message(b"V", m)
     t_bulk.append_messages(b"V", mixed)
     assert t_loop.challenge_bytes(b"c", 32) == t_bulk.challenge_bytes(b"c", 32)
+
+
+def test_rekey_many_bit_exact_with_loop():
+    """TranscriptRngBuilder.rekey_with_witness_many == the sequential
+    rekey loop (native bulk KEY ops vs per-call), pinned by the drawn
+    stream."""
+    from ark_bulletproofs_tpu.curves import secq256k1
+    from ark_bulletproofs_tpu.rand import seeded_rng
+    from ark_bulletproofs_tpu.transcript.merlin import Transcript
+
+    fr = secq256k1.fr
+    wits = [fr.to_bytes((i * 31 + 5) % fr.p) for i in range(40)]
+
+    b_loop = Transcript(b"rekey").build_rng()
+    for w in wits:
+        b_loop = b_loop.rekey_with_witness_bytes(b"v_blinding", w)
+    r_loop = b_loop.finalize(seeded_rng(1))
+
+    b_bulk = Transcript(b"rekey").build_rng().rekey_with_witness_many(
+        b"v_blinding", wits
+    )
+    r_bulk = b_bulk.finalize(seeded_rng(1))
+
+    assert [fr.rand(r_loop) for _ in range(5)] == [
+        fr.rand(r_bulk) for _ in range(5)
+    ]
