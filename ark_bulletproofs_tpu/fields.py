@@ -182,6 +182,39 @@ class Field:
             if raw is not None:
                 R_inv, p = self.R_inv, self.p
                 return [m * R_inv % p for m in raw]
+        if count >= 8 and hasattr(rng, "next_u32_array"):
+            # ChaCha path: bulk keystream words, processed through the
+            # same sequential cursor the per-call loop would consume
+            # (a rejection costs that element 2*n_limbs extra words and
+            # shifts everything after it, exactly like the loop).
+            shave = 64 * self.n_limbs - self.num_bits
+            mask = 0 if shave == 64 else ((1 << 64) - 1) >> shave
+            R_inv, p, nl = self.R_inv, self.p, self.n_limbs
+            words: list[int] = []
+            cur = 0
+            out = []
+            while len(out) < count:
+                if cur + 2 * nl > len(words):
+                    need = 2 * nl * (count - len(out)) + 2 * nl
+                    words.extend(
+                        int(w) for w in rng.next_u32_array(need)
+                    )
+                mont = 0
+                for i in range(nl):
+                    lo, hi = words[cur], words[cur + 1]
+                    cur += 2
+                    limb = lo | (hi << 32)
+                    if i == nl - 1:
+                        limb &= mask
+                    mont |= limb << (64 * i)
+                if mont < p:
+                    out.append(mont * R_inv % p)
+            # Words fetched beyond the cursor were never consumed by
+            # the sequential semantics; rewind the stream to the exact
+            # position the loop would have left it at.
+            if cur < len(words):
+                rng.skip_words(cur - len(words))
+            return out
         return [self.rand(rng) for _ in range(count)]
 
     # ---- arkworks-compatible serialization ----------------------------

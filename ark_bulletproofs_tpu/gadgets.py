@@ -69,8 +69,8 @@ class ShuffleProof:
         # commit loop, so transcripts (and proofs) are unchanged
         with phase("shuffle:commits"):
             with phase("shuffle:blind-draws"):
-                in_blinds = [curve.fr.rand(prng) for _ in input_vals]
-                out_blinds = [curve.fr.rand(prng) for _ in output_vals]
+                in_blinds = curve.fr.rand_many(prng, len(input_vals))
+                out_blinds = curve.fr.rand_many(prng, len(output_vals))
             in_coms, in_vars = zip(
                 *prover.commit_many(list(input_vals), in_blinds)
             )

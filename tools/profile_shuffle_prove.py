@@ -13,10 +13,14 @@ import random
 import sys
 import time
 
+_CURVE = os.environ.get("ABTPU_PROFILE_CURVE", "secq256k1")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from ark_bulletproofs_tpu import engine  # noqa: E402
-from ark_bulletproofs_tpu.curves import secq256k1 as C  # noqa: E402
+from ark_bulletproofs_tpu import curves as _curves  # noqa: E402
+
+C = getattr(_curves, _CURVE)
 from ark_bulletproofs_tpu.gadgets import ShuffleProof  # noqa: E402
 from ark_bulletproofs_tpu.generators import (  # noqa: E402
     BulletproofGens, PedersenGens,
@@ -57,7 +61,7 @@ def main() -> None:
     for _ in range(iters):
         run()
     dt = (time.perf_counter() - t0) / iters
-    print(f"\nshuffle_prove_secq256k1_k{k}: {dt * 1e3:.1f} ms/proof "
+    print(f"\nshuffle_prove_{_CURVE}_k{k}: {dt * 1e3:.1f} ms/proof "
           f"({iters} iters)\n", flush=True)
     print(profiling.report(), flush=True)
     import re
